@@ -1,0 +1,391 @@
+"""Detector — the public LINE-2D API (mirror of line2Dup.h:257-333).
+
+TPU-first design: the template store is packed into padded `LevelBank`
+arrays; `match()` builds the response/linear-memory pyramid on device and
+scores *all* templates of a class in one batched launch (the reference's
+OpenMP-over-templates loop, line2Dup.cpp:1169, becomes a batch dimension).
+Candidate refinement batches all surviving candidates across templates.
+
+Score parity: identical integer response accumulation and the identical
+float `raw*100/(4*nfeat)` mapping (line2Dup.cpp:1206), verified against
+golden outputs generated from the compiled C++ reference (tests/goldens).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gradients import (quantized_orientations_color,
+                             quantized_orientations_gray)
+from ..ops.filters import pyr_down_u8, resize_nearest
+from ..ops.response import build_linear_memories
+from ..ops.similarity import (LevelBank, coarse_similarity,
+                              extract_candidates, pack_level_bank,
+                              refine_candidates)
+from ..utils.yaml_io import (class_file_path, dump_opencv_yaml,
+                             load_opencv_yaml)
+from . import training
+from .template import Feature, Template, TemplatePyramid, crop_templates
+
+
+@dataclass
+class Match:
+    """A detection (line2Dup.h:222-250). (x, y) is the match origin at full
+    resolution; similarity in [0, 100]."""
+
+    x: int
+    y: int
+    similarity: float
+    class_id: str
+    template_id: int
+
+    def sort_key(self):
+        return (-self.similarity, self.template_id)
+
+    def __eq__(self, rhs) -> bool:  # operator== (line2Dup.h:240-243)
+        return (self.x == rhs.x and self.y == rhs.y
+                and self.similarity == rhs.similarity
+                and self.class_id == rhs.class_id)
+
+
+# Candidate-capacity buckets: smallest one >= the true above-threshold count
+# is used, so the common case stays cheap and parity is never lost.
+_CAND_BUCKETS = (256, 1024, 4096, 16384, 65536)
+
+
+@partial(jax.jit, static_argnames=("gray", "has_mask", "T", "levels"))
+def _build_lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
+                      levels: int, weak_threshold):
+    """Device pyramid: per level quantize -> spread -> responses -> linear
+    memories (match() preamble, line2Dup.cpp:1084-1120)."""
+    lmflats = []
+    src = source
+    msk = mask
+    for l in range(levels):
+        if l > 0:
+            src = pyr_down_u8(src)
+            if has_mask:
+                msk = resize_nearest(msk, (src.shape[0], src.shape[1]))
+        if gray:
+            grads = quantized_orientations_gray(src, weak_threshold)
+        else:
+            grads = quantized_orientations_color(src, weak_threshold)
+        quantized = grads.angle
+        if has_mask:
+            quantized = jnp.where(msk > 0, quantized, 0)
+        lm = build_linear_memories(quantized, T[l])  # [8, T*T, M]
+        m = lm.shape[-1]
+        flat = jnp.concatenate([lm.reshape(-1),
+                                jnp.zeros((m,), jnp.uint8)])
+        lmflats.append(flat)
+    return tuple(lmflats)
+
+
+class Detector:
+    """LINE-2D detector with batched TPU matching.
+
+    Args mirror Detector(num_features, T, weak_thresh, strong_thresh)
+    (line2Dup.h:266). ``T`` is the per-pyramid-level spread/decimation
+    factor, finest level first (default (4, 8), line2Dup.cpp:1056-1062).
+    """
+
+    def __init__(self, num_features: int = 63, T=(4, 8),
+                 weak_threshold: float = 30.0,
+                 strong_threshold: float = 60.0):
+        self.num_features = int(num_features)
+        self.T_at_level = tuple(int(t) for t in T)
+        self.pyramid_levels = len(self.T_at_level)
+        self.weak_threshold = float(weak_threshold)
+        self.strong_threshold = float(strong_threshold)
+        self.class_templates: dict[str, list[TemplatePyramid]] = {}
+        self._banks: dict[str, list[LevelBank]] = {}
+
+    # ------------------------------------------------------------------
+    # Template management
+    # ------------------------------------------------------------------
+
+    def add_template(self, source, class_id: str, object_mask=None,
+                     sscale: float = -1.0, orientation: float = -1.0,
+                     tag_field_id: int = 0, fiducial_src: str = "none",
+                     num_features: int = 0) -> int:
+        """Train a template pyramid from an image (line2Dup.cpp:1299-1353).
+
+        Returns the new template_id, or -1 when extraction fails.
+        """
+        source = np.asarray(source)
+        mask = None if object_mask is None else np.asarray(object_mask)
+        nfeat = int(num_features) if num_features > 0 else self.num_features
+
+        tp: TemplatePyramid = []
+        src = source
+        msk = mask
+        level_nfeat = nfeat
+        for l in range(self.pyramid_levels):
+            if l > 0:
+                src = np.asarray(pyr_down_u8(jnp.asarray(src)))
+                if msk is not None:
+                    msk = np.asarray(
+                        resize_nearest(jnp.asarray(msk),
+                                       (src.shape[0], src.shape[1])))
+                level_nfeat //= 2  # line2Dup.cpp:427
+            grads = self._quantized(src)
+            templ = training.extract_template(
+                grads, msk, level_nfeat, self.strong_threshold, l)
+            if templ is None:
+                return -1
+            templ.sscale = sscale
+            templ.orientation = orientation
+            templ.tag_field_id = tag_field_id
+            templ.fiducial_src = fiducial_src
+            tp.append(templ)
+
+        crop_templates(tp)
+        pyramids = self.class_templates.setdefault(class_id, [])
+        pyramids.append(tp)
+        self._banks.pop(class_id, None)
+        return len(pyramids) - 1
+
+    def add_template_rotate(self, class_id: str, zero_id: int, theta: float,
+                            center) -> int:
+        """Derive a rotated template from template `zero_id` without
+        re-extracting features (line2Dup.cpp:1409-1451)."""
+        pyramids = self.class_templates[class_id]
+        src_tp = pyramids[zero_id]
+        tp = training.rotate_template_features(src_tp, float(theta), center,
+                                               self.pyramid_levels)
+        crop_templates(tp)
+        pyramids.append(tp)
+        self._banks.pop(class_id, None)
+        return len(pyramids) - 1
+
+    def get_templates(self, class_id: str, template_id: int) -> TemplatePyramid:
+        return self.class_templates[class_id][template_id]
+
+    def num_templates(self, class_id: str | None = None) -> int:
+        if class_id is None:
+            return sum(len(v) for v in self.class_templates.values())
+        return len(self.class_templates.get(class_id, []))
+
+    def num_classes(self) -> int:
+        return len(self.class_templates)
+
+    def class_ids(self) -> list[str]:
+        return list(self.class_templates.keys())
+
+    def get_t(self, pyramid_level: int) -> int:
+        return self.T_at_level[pyramid_level]
+
+    # ------------------------------------------------------------------
+    # Matching
+    # ------------------------------------------------------------------
+
+    def match(self, source, threshold: float, class_ids=None, mask=None,
+              max_candidates: int | None = None) -> list[Match]:
+        """Detect all trained templates in `source` (line2Dup.cpp:1078-1150).
+
+        `source` is a uint8 [H, W] gray or [H, W, 3] color array whose
+        dimensions must be divisible by T * 2^(levels-1) (the reference
+        asserts the same via computeResponseMaps/linearize).
+        """
+        source = np.asarray(source)
+        self._validate_size(source.shape[:2])
+        gray = source.ndim == 2
+        has_mask = mask is not None
+        mask_arr = (jnp.asarray(np.asarray(mask)) if has_mask
+                    else jnp.zeros((1, 1), jnp.uint8))
+
+        lmflats = _build_lm_pyramid(
+            jnp.asarray(source), mask_arr, gray, has_mask,
+            self.T_at_level, self.pyramid_levels,
+            jnp.float32(self.weak_threshold))
+
+        sizes = self._level_sizes(source.shape[:2])
+
+        if class_ids is None or not class_ids:
+            class_ids = list(self.class_templates.keys())
+
+        matches: list[Match] = []
+        for class_id in class_ids:
+            if class_id not in self.class_templates:
+                continue
+            matches.extend(
+                self._match_class(lmflats, sizes, float(threshold), class_id,
+                                  max_candidates))
+
+        # sort + adjacent-dedup (line2Dup.cpp:1143-1145); the extra (x, y)
+        # tiebreak makes duplicate groups adjacent deterministically.
+        matches.sort(key=lambda m: (-m.similarity, m.template_id, m.x, m.y,
+                                    m.class_id))
+        out: list[Match] = []
+        for m in matches:
+            if out and m == out[-1]:
+                continue
+            out.append(m)
+        return out
+
+    def _match_class(self, lmflats, sizes, threshold, class_id,
+                     max_candidates) -> list[Match]:
+        banks = self._get_banks(class_id)
+        t_last = self.T_at_level[-1]
+        size_last = sizes[-1]
+        w_last = size_last[0] // t_last
+
+        S, _positions = coarse_similarity(lmflats[-1], banks[-1], t_last,
+                                          size_last)
+        total = int(S.shape[0]) * int(S.shape[1])
+
+        buckets = [c for c in _CAND_BUCKETS if c <= total] or [total]
+        if max_candidates is not None:
+            buckets = [min(c, int(max_candidates)) for c in buckets]
+        k = x = y = sc = valid = None
+        for cap in buckets:
+            k, x, y, sc, valid, n_above = extract_candidates(
+                S, banks[-1].nfeat, jnp.float32(threshold), t_last, w_last,
+                cap)
+            n_above = int(n_above)
+            if n_above <= cap or cap == buckets[-1]:
+                if n_above > cap:
+                    import warnings
+                    warnings.warn(
+                        f"candidate overflow: {n_above} above threshold, "
+                        f"cap {cap}; raise max_candidates for full parity")
+                break
+
+        for l in range(self.pyramid_levels - 2, -1, -1):
+            k, x, y, sc, valid = refine_candidates(
+                lmflats[l], banks[l], self.T_at_level[l], sizes[l],
+                k, x, y, valid, jnp.float32(threshold))
+
+        k = np.asarray(k)
+        x = np.asarray(x)
+        y = np.asarray(y)
+        sc = np.asarray(sc)
+        valid = np.asarray(valid)
+        return [
+            Match(int(x[i]), int(y[i]), float(sc[i]), class_id, int(k[i]))
+            for i in np.nonzero(valid)[0]
+        ]
+
+    # ------------------------------------------------------------------
+    # Internals
+    # ------------------------------------------------------------------
+
+    def _quantized(self, src: np.ndarray):
+        if src.ndim == 2:
+            return quantized_orientations_gray(
+                jnp.asarray(src), jnp.float32(self.weak_threshold))
+        return quantized_orientations_color(
+            jnp.asarray(src), jnp.float32(self.weak_threshold))
+
+    def _level_sizes(self, hw) -> list[tuple]:
+        h, w = int(hw[0]), int(hw[1])
+        sizes = []
+        for l in range(self.pyramid_levels):
+            sizes.append((w, h))  # (width, height) like cv::Size
+            h //= 2
+            w //= 2
+        return sizes
+
+    def _validate_size(self, hw) -> None:
+        h, w = int(hw[0]), int(hw[1])
+        for l, t in enumerate(self.T_at_level):
+            if h % t or w % t or (h * w) % 16:
+                stride = self.T_at_level[-1] * (2 ** (self.pyramid_levels - 1))
+                raise ValueError(
+                    f"image {w}x{h} not tileable at level {l} (T={t}); "
+                    f"crop/pad dims to multiples of {stride} "
+                    f"(reference asserts the same: line2Dup.cpp:639,751)")
+            h //= 2
+            w //= 2
+
+    def _get_banks(self, class_id: str) -> list[LevelBank]:
+        banks = self._banks.get(class_id)
+        if banks is None:
+            pyramids = self.class_templates[class_id]
+            banks = []
+            for l in range(self.pyramid_levels):
+                level_templates = [
+                    {
+                        "features": [(f.x, f.y, f.label) for f in tp[l].features],
+                        "width": tp[l].width,
+                        "height": tp[l].height,
+                    }
+                    for tp in pyramids
+                ]
+                banks.append(pack_level_bank(level_templates))
+            self._banks[class_id] = banks
+        return banks
+
+    # ------------------------------------------------------------------
+    # Persistence (line2Dup.cpp:1489-1599)
+    # ------------------------------------------------------------------
+
+    def write_settings(self) -> dict:
+        return {
+            "pyramid_levels": self.pyramid_levels,
+            "T": list(self.T_at_level),
+            "type": "ColorGradient",
+            "weak_threshold": float(self.weak_threshold),
+            "num_features": int(self.num_features),
+            "strong_threshold": float(self.strong_threshold),
+        }
+
+    def read_settings(self, doc: dict) -> None:
+        self.pyramid_levels = int(doc["pyramid_levels"])
+        self.T_at_level = tuple(int(t) for t in doc["T"])
+        self.weak_threshold = float(doc.get("weak_threshold", 30.0))
+        self.num_features = int(doc.get("num_features", 63))
+        self.strong_threshold = float(doc.get("strong_threshold", 60.0))
+        self.class_templates.clear()
+        self._banks.clear()
+
+    def save_settings(self, path: str) -> None:
+        dump_opencv_yaml(self.write_settings(), path)
+
+    @classmethod
+    def load_settings(cls, path: str) -> "Detector":
+        doc = load_opencv_yaml(path)
+        det = cls()
+        det.read_settings(doc)
+        return det
+
+    def write_class(self, class_id: str) -> dict:
+        pyramids = self.class_templates[class_id]
+        return {
+            "class_id": class_id,
+            "pyramid_levels": self.pyramid_levels,
+            "template_pyramids": [
+                {
+                    "template_id": i,
+                    "templates": [t.to_yaml() for t in tp],
+                }
+                for i, tp in enumerate(pyramids)
+            ],
+        }
+
+    def read_class(self, doc: dict, class_id_override: str = "") -> str:
+        class_id = class_id_override or doc["class_id"]
+        pyramids = []
+        for tp_node in doc.get("template_pyramids", []):
+            tp = [Template.from_yaml(t) for t in tp_node.get("templates", [])]
+            pyramids.append(tp)
+        self.class_templates[class_id] = pyramids
+        self._banks.pop(class_id, None)
+        return class_id
+
+    def write_classes(self, fmt: str = "templates_%s.yml.gz") -> None:
+        for class_id in self.class_templates:
+            path = class_file_path(fmt, class_id)
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            dump_opencv_yaml(self.write_class(class_id), path)
+
+    def read_classes(self, class_ids, fmt: str = "templates_%s.yml.gz") -> None:
+        for class_id in class_ids:
+            doc = load_opencv_yaml(class_file_path(fmt, class_id))
+            self.read_class(doc)

@@ -1,0 +1,200 @@
+"""Template training: feature extraction from an image + mask.
+
+Split TPU-first: the dense work (gradients, quantization, 5×5 local-max map)
+runs as fused JAX on device; the tiny order-dependent greedy passes (NMS
+acceptance scan, scattered-feature selection; line2Dup.cpp:452-539,163-212)
+run on host over the short candidate list, where their sequential semantics
+are exact and cheap.
+
+The reference's greedy magnitude NMS (line2Dup.cpp:466-511) scans row-major
+with a `magnitude_valid` bitmap. Its exact semantics reduce to:
+
+  * a pixel is an *accepted max* iff it is mask-eligible, a ties-allowed 5×5
+    local max of magnitude, and no previously accepted max lies within
+    Chebyshev distance 2 (suppression only ever comes from accepted maxes);
+  * candidates are accepted maxes with magnitude > strong² and a nonzero
+    quantized orientation.
+
+We compute the ties-allowed local-max map on device and replay the row-major
+acceptance with an O(25)-per-pixel occupancy grid on host — bit-identical to
+the C++ including tie chains.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.filters import erode3_u8
+from ..ops.gradients import QuantizedGradients
+from .template import Feature, Template
+
+
+@partial(jax.jit, static_argnames=())
+def local_max_map(magnitude: jnp.ndarray) -> jnp.ndarray:
+    """Ties-allowed 5×5 local-max map, interior only (k=2 border margin)."""
+    h, w = magnitude.shape
+    neg_inf = jnp.float32(-jnp.inf)
+    p = jnp.pad(magnitude, 2, constant_values=neg_inf)
+    neigh_max = neg_inf
+    for i in range(5):
+        for j in range(5):
+            if i == 2 and j == 2:
+                continue
+            neigh_max = jnp.maximum(neigh_max, p[i : i + h, j : j + w])
+    is_max = magnitude >= neigh_max
+    interior = (
+        (jnp.arange(h)[:, None] >= 2) & (jnp.arange(h)[:, None] < h - 2)
+        & (jnp.arange(w)[None, :] >= 2) & (jnp.arange(w)[None, :] < w - 2)
+    )
+    return is_max & interior
+
+
+def extract_template(grads: QuantizedGradients, mask: np.ndarray | None,
+                     num_features: int, strong_threshold: float,
+                     pyramid_level: int) -> Template | None:
+    """ColorGradientPyramid::extractTemplate (line2Dup.cpp:452-539).
+
+    Returns None when too few candidates (<=4) — the reference aborts and
+    addTemplate returns -1 (line2Dup.cpp:513-517,1342).
+    """
+    magnitude = np.asarray(grads.magnitude)
+    quantized = np.asarray(grads.angle)
+    angle_ori = np.asarray(grads.angle_ori)
+    h, w = magnitude.shape
+
+    local_mask = None
+    if mask is not None and mask.size:
+        local_mask = np.asarray(erode3_u8(jnp.asarray(mask)))
+
+    lmax = np.asarray(local_max_map(grads.magnitude))
+    if local_mask is not None:
+        eligible = lmax & (local_mask > 0)
+    else:
+        eligible = lmax
+
+    # Row-major greedy acceptance with occupancy grid (exact C++ semantics).
+    ys, xs = np.nonzero(eligible)
+    accepted = np.zeros((h, w), dtype=bool)
+    acc_list = []
+    for r, c in zip(ys.tolist(), xs.tolist()):
+        r0, r1 = max(0, r - 2), min(h, r + 3)
+        c0, c1 = max(0, c - 2), min(w, c + 3)
+        if accepted[r0:r1, c0:c1].any():
+            continue
+        accepted[r, c] = True
+        acc_list.append((r, c))
+
+    threshold_sq = float(strong_threshold) ** 2
+    candidates = []  # scan order == row-major acceptance order
+    for r, c in acc_list:
+        score = float(magnitude[r, c])
+        q = int(quantized[r, c])
+        if score > threshold_sq and q > 0:
+            candidates.append(
+                Candidate(x=c, y=r, label=q.bit_length() - 1, score=score,
+                          theta=float(angle_ori[r, c]))
+            )
+
+    if len(candidates) < num_features and len(candidates) <= 4:
+        return None
+
+    candidates.sort(key=lambda cd: -cd.score)  # stable (line2Dup.cpp:522)
+    distance = float(len(candidates) // num_features + 1)
+    feats = select_scattered_features(candidates, num_features, distance)
+
+    templ = Template(width=-1, height=-1, pyramid_level=pyramid_level)
+    templ.features = [Feature(c.x, c.y, c.label, c.theta) for c in feats]
+    return templ
+
+
+class Candidate:
+    __slots__ = ("x", "y", "label", "score", "theta")
+
+    def __init__(self, x, y, label, score, theta):
+        self.x, self.y, self.label = x, y, label
+        self.score, self.theta = score, theta
+
+
+def select_scattered_features(candidates, num_features: int,
+                              distance: float):
+    """Greedy spatially-scattered subset (line2Dup.cpp:163-212), exact."""
+    features = []
+    distance_sq = distance * distance
+    i = 0
+    first_select = True
+    while True:
+        c = candidates[i]
+        keep = True
+        for f in features:
+            dx = c.x - f.x
+            dy = c.y - f.y
+            if dx * dx + dy * dy < distance_sq:
+                keep = False
+                break
+        if keep:
+            features.append(c)
+        i += 1
+        if i == len(candidates):
+            num_ok = len(features) >= num_features
+            if first_select:
+                if num_ok:
+                    features = []
+                    i = 0
+                    distance += 1.0
+                    distance_sq = distance * distance
+                    continue
+                first_select = False
+            i = 0
+            distance -= 1.0
+            distance_sq = distance * distance
+            if num_ok or distance < 3:
+                break
+    return features
+
+
+def rotate_template_features(tp, theta: float, center_xy,
+                             pyramid_levels: int):
+    """addTemplate_rotate feature math (line2Dup.cpp:1395-1451), exact
+    float32/double semantics of the C++ (Point2f stores float32; the rotation
+    is computed in double then narrowed)."""
+    import math
+
+    cx, cy = float(center_xy[0]), float(center_xy[1])
+    ang = -theta / 180.0 * math.pi
+    cos_a, sin_a = math.cos(ang), math.sin(ang)
+
+    out = []
+    for l in range(pyramid_levels):
+        if l > 0:
+            # center /= 2 at each level (float division, line2Dup.cpp:1422)
+            cx = np.float32(np.float32(cx) / np.float32(2)).item()
+            cy = np.float32(np.float32(cy) / np.float32(2)).item()
+        src = tp[l]
+        t_new = Template(pyramid_level=l)
+        for f in src.features:
+            px = np.float32(f.x + src.tl_x)
+            py = np.float32(f.y + src.tl_y)
+            # rotate2d: double intermediate, float32 storage
+            rx = np.float32(cos_a * float(np.float32(px - np.float32(cx)))
+                            - sin_a * float(np.float32(py - np.float32(cy))))
+            ry = np.float32(sin_a * float(np.float32(px - np.float32(cx)))
+                            + cos_a * float(np.float32(py - np.float32(cy))))
+            nx = np.float32(rx + np.float32(cx))
+            ny = np.float32(ry + np.float32(cy))
+            fx = int(np.float32(nx + np.float32(0.5)))  # trunc toward zero
+            fy = int(np.float32(ny + np.float32(0.5)))
+
+            th = np.float32(f.theta) - np.float32(theta)
+            while th > 360:
+                th = np.float32(th - np.float32(360))
+            while th < 0:
+                th = np.float32(th + np.float32(360))
+            label = int(np.float32(th * np.float32(16) / np.float32(360)
+                                   + np.float32(0.5))) & 7
+            t_new.features.append(Feature(fx, fy, label, float(th)))
+        out.append(t_new)
+    return out

@@ -1,0 +1,124 @@
+"""Gradient extraction + 8-bin orientation quantization (LINE-2D front end).
+
+TPU-first reformulation of the reference's hysteresisGradient /
+quantizedOrientations (line2Dup.cpp:218-404):
+
+* the scalar 3x3-histogram majority vote becomes a one-hot vote tensor summed
+  over the 9 neighbor shifts — a handful of fused VPU ops instead of a
+  per-pixel loop;
+* the color path's "use the channel with the largest squared magnitude"
+  becomes a vectorized argmin-free select with the reference's exact tie
+  rules (ch0 wins ties vs ch1/ch2; ch1 wins ties vs ch2; line2Dup.cpp:370-387);
+* magnitudes stay *squared* (the reference never takes the sqrt; thresholds
+  are compared squared: line2Dup.cpp:326,328).
+
+Outputs match the C++ bit-for-bit given the bit-exact filters in filters.py
+(up to the ~3e-5° fastAtan2 note in fastmath.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .fastmath import phase_deg
+from .filters import gaussian_blur7_u8, sobel3_f32, sobel3_i32
+
+
+class QuantizedGradients(NamedTuple):
+    """Per-level gradient state (mirror of ColorGradientPyramid fields,
+    line2Dup.h:185-191)."""
+
+    magnitude: jnp.ndarray  # [H, W] float32, SQUARED gradient magnitude
+    angle: jnp.ndarray      # [H, W] uint8, single-bit quantized orientation
+    angle_ori: jnp.ndarray  # [H, W] float32, raw angle in degrees
+
+
+def hysteresis_quantize(magnitude: jnp.ndarray, angle_deg: jnp.ndarray,
+                        threshold_sq: jnp.ndarray) -> jnp.ndarray:
+    """8-bin quantization with 3x3 majority vote (line2Dup.cpp:218-311).
+
+    1. bucket16 = round_half_even(angle * 16/360), borders zeroed, & 7.
+    2. keep pixel only if magnitude > threshold_sq,
+    3. 3x3 neighborhood vote: bin with most votes (lowest index wins ties)
+       must have >= 5 of 9 votes; output byte is 1 << bin, else 0.
+    """
+    h, w = angle_deg.shape
+    # convertTo(CV_8U, 16/360) rounds half-to-even (cvRound).
+    q16 = jnp.round(angle_deg * jnp.float32(16.0 / 360.0)).astype(jnp.int32)
+    # Zero borders, then mask to 3 bits (16 -> 0 like the reference's &7).
+    border = (
+        (jnp.arange(h)[:, None] > 0)
+        & (jnp.arange(h)[:, None] < h - 1)
+        & (jnp.arange(w)[None, :] > 0)
+        & (jnp.arange(w)[None, :] < w - 1)
+    )
+    q8 = jnp.where(border, q16 & 7, 0).astype(jnp.int32)
+
+    # One-hot votes over the 3x3 neighborhood: votes[b] at pixel p = number of
+    # neighbors (incl. p) whose bin == b. Padding contributes zeros to bin 0
+    # only for out-of-range taps, but those taps are never used because the
+    # output is restricted to interior pixels (border already zeroed).
+    onehot = jax.nn.one_hot(q8, 8, dtype=jnp.int32)  # [H, W, 8]
+    p = jnp.pad(onehot, ((1, 1), (1, 1), (0, 0)))
+    votes = sum(
+        p[i : i + h, j : j + w] for i in range(3) for j in range(3)
+    )  # [H, W, 8]
+    max_votes = jnp.max(votes, axis=-1)
+    best_bin = jnp.argmax(votes, axis=-1).astype(jnp.int32)  # first max wins
+
+    ok = border & (magnitude > threshold_sq) & (max_votes >= 5)
+    out = jnp.where(ok, (1 << best_bin).astype(jnp.int32), 0)
+    return out.astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=())
+def quantized_orientations_gray(src: jnp.ndarray,
+                                weak_threshold: jnp.ndarray) -> QuantizedGradients:
+    """Gray path of quantizedOrientations (line2Dup.cpp:322-330)."""
+    smoothed = gaussian_blur7_u8(src)
+    dx = sobel3_f32(smoothed, dx=True)
+    dy = sobel3_f32(smoothed, dx=False)
+    magnitude = dx * dx + dy * dy
+    ang = phase_deg(dx, dy)
+    quant = hysteresis_quantize(magnitude, ang,
+                                jnp.float32(weak_threshold) ** 2)
+    return QuantizedGradients(magnitude, quant, ang)
+
+
+@partial(jax.jit, static_argnames=())
+def quantized_orientations_color(src: jnp.ndarray,
+                                 weak_threshold: jnp.ndarray) -> QuantizedGradients:
+    """Color path: per-channel CV_16S Sobel, pick the max-|grad|^2 channel
+    with the reference's exact tie-breaking (line2Dup.cpp:331-401)."""
+    smoothed = gaussian_blur7_u8(src)
+    dx3 = sobel3_i32(smoothed, dx=True)   # [H, W, 3] int32
+    dy3 = sobel3_i32(smoothed, dx=False)
+    mag3 = dx3 * dx3 + dy3 * dy3
+
+    m0, m1, m2 = mag3[..., 0], mag3[..., 1], mag3[..., 2]
+    pick0 = (m0 >= m1) & (m0 >= m2)
+    pick1 = (~pick0) & (m1 >= m0) & (m1 >= m2)
+    sel = jnp.where(pick0, 0, jnp.where(pick1, 1, 2))
+    dx = jnp.take_along_axis(dx3, sel[..., None], axis=-1)[..., 0]
+    dy = jnp.take_along_axis(dy3, sel[..., None], axis=-1)[..., 0]
+    magnitude = jnp.take_along_axis(mag3, sel[..., None], axis=-1)[..., 0]
+    magnitude = magnitude.astype(jnp.float32)
+
+    ang = phase_deg(dx.astype(jnp.float32), dy.astype(jnp.float32))
+    quant = hysteresis_quantize(magnitude, ang,
+                                jnp.float32(weak_threshold) ** 2)
+    return QuantizedGradients(magnitude, quant, ang)
+
+
+def quantized_orientations(src: jnp.ndarray,
+                           weak_threshold: float) -> QuantizedGradients:
+    """Dispatch on channel count like modality->process (line2Dup.cpp:313)."""
+    if src.ndim == 2:
+        return quantized_orientations_gray(src, jnp.float32(weak_threshold))
+    if src.ndim == 3 and src.shape[-1] == 3:
+        return quantized_orientations_color(src, jnp.float32(weak_threshold))
+    raise ValueError(f"expected [H,W] gray or [H,W,3] color, got {src.shape}")

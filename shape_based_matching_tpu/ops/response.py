@@ -1,0 +1,85 @@
+"""Orientation spreading, cosine-response maps, and the TPU linear layout.
+
+Reference semantics (line2Dup.cpp:583-777):
+
+* ``spread``: OR each pixel's orientation bitmask into every position of the
+  T×T window *up-left* of it — i.e. dst[r,c] = OR_{0<=dr,dc<T} src[r+dr,c+dc]
+  with zeros beyond the image. The reference runs T² full-image SIMD OR
+  passes; OR is separable, so we do T row-shift ORs then T column-shift ORs
+  (2T passes, fused by XLA).
+
+* ``response_maps``: for orientation ``ori``, the 256-entry SIMILARITY_LUT
+  (line2Dup.cpp:632-635) evaluates max over set bits b of w(dist(b, ori)) with
+  w(0)=4, w(1)=3, else 0 (responses in {0,3,4}). Instead of a byte LUT +
+  shuffle we compute it directly from three bit tests — pure uint8 VPU ops.
+
+* ``linearize``: the reference reorders each response map into T² rows of the
+  T-decimated image so a template shift is a contiguous row read
+  (line2Dup.cpp:749-777). On TPU this is just a reshape/transpose to
+  ``[8, T*T, H/T * W/T]``; the similarity kernel consumes the flattened
+  ``[8*T*T*M]`` view so the reference's flat-offset (row-wrapping) semantics
+  are preserved exactly (line2Dup.cpp:825,949 keep wrapped positions).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("T",))
+def spread(quantized: jnp.ndarray, T: int) -> jnp.ndarray:
+    """OR orientations over the T×T window (line2Dup.cpp:616-630)."""
+    x = quantized
+    h, w = x.shape
+    # Rows: dst[r,c] |= src[r+dr, c] for dr in [0,T)
+    acc = x
+    for dr in range(1, T):
+        shifted = jnp.zeros_like(x).at[: h - dr, :].set(x[dr:, :])
+        acc = acc | shifted
+    out = acc
+    for dc in range(1, T):
+        shifted = jnp.zeros_like(out).at[:, : w - dc].set(acc[:, dc:])
+        out = out | shifted
+    return out
+
+
+@jax.jit
+def response_maps(spread_img: jnp.ndarray) -> jnp.ndarray:
+    """[8, H, W] uint8 cosine responses (line2Dup.cpp:637-747).
+
+    response[ori] = 4 if bit ori set, else 3 if an adjacent bit (ori±1 mod 8)
+    is set, else 0 — exactly the SIMILARITY_LUT table semantics.
+    """
+    s = spread_img.astype(jnp.int32)  # [H, W]
+    oris = jnp.arange(8, dtype=jnp.int32)
+    exact = (s[None] >> oris[:, None, None]) & 1
+    left = (s[None] >> ((oris + 1) & 7)[:, None, None]) & 1
+    right = (s[None] >> ((oris - 1) & 7)[:, None, None]) & 1
+    adj = left | right
+    resp = jnp.where(exact == 1, 4, jnp.where(adj == 1, 3, 0))
+    return resp.astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("T",))
+def linearize(resp: jnp.ndarray, T: int) -> jnp.ndarray:
+    """[8, H, W] responses -> [8, T*T, M] linear memories, M = (H/T)*(W/T).
+
+    Row (ty*T + tx) of plane `ori` holds resp[ori, ty::T, tx::T] flattened
+    row-major — identical layout to the reference's linear memories so flat
+    offsets agree byte-for-byte.
+    """
+    _, h, w = resp.shape
+    assert h % T == 0 and w % T == 0, (h, w, T)
+    hd, wd = h // T, w // T
+    x = resp.reshape(8, hd, T, wd, T)
+    x = x.transpose(0, 2, 4, 1, 3)  # [8, T, T, Hd, Wd]
+    return x.reshape(8, T * T, hd * wd)
+
+
+@partial(jax.jit, static_argnames=("T",))
+def build_linear_memories(quantized: jnp.ndarray, T: int) -> jnp.ndarray:
+    """Fused quantized -> spread -> responses -> linear memories."""
+    return linearize(response_maps(spread(quantized, T)), T)

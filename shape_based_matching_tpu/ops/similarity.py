@@ -1,0 +1,206 @@
+"""Batched template similarity — the TPU replacement for the OpenMP loop.
+
+The reference scores templates one at a time with SIMD adds inside an OpenMP
+``parallel for`` (line2Dup.cpp:1160-1297). Here the whole template bank is a
+padded array pytree and every template scores in one device launch:
+
+* coarse level: ``S[k, j] = sum_n LMflat[off[k, n] + j]`` for all K templates
+  and all M decimated positions at once — a scan over the (padded) feature
+  axis of batched contiguous-slice gathers. ``off`` encodes the reference's
+  linear-memory addressing ((label, y%T, x%T) plane + (y//T)*W + x//T), and
+  the *flat* offset semantics — including the wrap across image rows that the
+  reference deliberately allows (line2Dup.cpp:946-949) — are preserved.
+* refinement: all surviving candidates of all templates refine as one batched
+  16×16-patch gather (line2Dup.cpp:860-922 semantics, incl. the multiple-of-T
+  snapping and the clamp order of line2Dup.cpp:1236-1245).
+
+Scores stay integer until the final ``raw * 100 / (4 * nfeat)`` float
+(line2Dup.cpp:1206), so results match the C++ u8/u16 accumulators exactly
+(responses are in {0,3,4}; no overflow differences in i32).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class LevelBank(NamedTuple):
+    """Padded per-pyramid-level template bank (device pytree).
+
+    Replaces the reference's ``map<class_id, vector<TemplatePyramid>>``
+    (line2Dup.h:320) with fixed-shape arrays: K templates × N feature slots.
+    """
+
+    fx: jnp.ndarray      # [K, N] int32 feature x (template frame)
+    fy: jnp.ndarray      # [K, N] int32 feature y
+    label: jnp.ndarray   # [K, N] int32 orientation bin 0..7
+    valid: jnp.ndarray   # [K, N] bool
+    nfeat: jnp.ndarray   # [K] int32 true feature count
+    width: jnp.ndarray   # [K] int32 cropped template width at this level
+    height: jnp.ndarray  # [K] int32
+
+
+def pack_level_bank(templates, n_pad: int | None = None) -> LevelBank:
+    """Pack a list of per-template dicts (one pyramid level) into arrays.
+
+    Each dict: {'features': [(x, y, label), ...], 'width': int, 'height': int}.
+    """
+    K = len(templates)
+    N = max((len(t["features"]) for t in templates), default=1)
+    N = max(N, 1)
+    if n_pad is not None:
+        N = max(N, n_pad)
+    fx = np.zeros((K, N), np.int32)
+    fy = np.zeros((K, N), np.int32)
+    lb = np.zeros((K, N), np.int32)
+    va = np.zeros((K, N), bool)
+    nf = np.zeros((K,), np.int32)
+    w = np.zeros((K,), np.int32)
+    h = np.zeros((K,), np.int32)
+    for k, t in enumerate(templates):
+        feats = t["features"]
+        nf[k] = len(feats)
+        w[k] = t["width"]
+        h[k] = t["height"]
+        for n, f in enumerate(feats):
+            fx[k, n], fy[k, n], lb[k, n] = f[0], f[1], f[2]
+            va[k, n] = True
+    return LevelBank(*(jnp.asarray(a) for a in (fx, fy, lb, va, nf, w, h)))
+
+
+def _flat_offsets(bank: LevelBank, T: int, W: int, M: int,
+                  size_wh) -> jnp.ndarray:
+    """Flat linear-memory offset per feature; invalid/OOB -> zero region (=L).
+
+    off = (label*T*T + (y%T)*T + x%T) * M + (y//T)*W + x//T
+    (accessLinearMemory, line2Dup.cpp:782-805).
+    """
+    w_img, h_img = size_wh
+    L = 8 * T * T * M
+    inb = (
+        bank.valid
+        & (bank.fx >= 0) & (bank.fx < w_img)
+        & (bank.fy >= 0) & (bank.fy < h_img)
+    )
+    plane = bank.label * (T * T) + (bank.fy % T) * T + (bank.fx % T)
+    off = plane * M + (bank.fy // T) * W + (bank.fx // T)
+    return jnp.where(inb, off, L).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("T", "size_wh"))
+def coarse_similarity(lmflat: jnp.ndarray, bank: LevelBank, T: int,
+                      size_wh) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Score all K templates over all M positions of the coarsest level.
+
+    lmflat: [8*T*T*M + M] uint8 (linear memories + M-byte zero pad).
+    Returns (S [K, M] int32 raw scores masked to valid positions,
+             positions [K] int32).
+    """
+    w_img, h_img = size_wh
+    W, H = w_img // T, h_img // T
+    M = W * H
+    off = _flat_offsets(bank, T, W, M, size_wh)  # [K, N]
+
+    def body(acc, off_n):  # off_n: [K]
+        seg = jax.vmap(
+            lambda o: jax.lax.dynamic_slice(lmflat, (o,), (M,))
+        )(off_n)
+        return acc + seg.astype(jnp.int32), None
+
+    K = off.shape[0]
+    acc0 = jnp.zeros((K, M), jnp.int32)
+    S, _ = jax.lax.scan(body, acc0, off.T)
+
+    # span/positions bookkeeping (line2Dup.cpp:816-825)
+    wf = (bank.width - 1) // T + 1
+    hf = (bank.height - 1) // T + 1
+    span_x = W - wf
+    span_y = H - hf
+    positions = span_y * W + span_x + 1  # may be <= 0 for oversize templates
+    j = jnp.arange(M, dtype=jnp.int32)[None, :]
+    S = jnp.where(j < positions[:, None], S, 0)
+    return S, positions
+
+
+@partial(jax.jit, static_argnames=("T", "W", "C"))
+def extract_candidates(S: jnp.ndarray, nfeat: jnp.ndarray, threshold,
+                       T: int, W: int, C: int):
+    """Threshold + top-C candidate extraction (line2Dup.cpp:1200-1216).
+
+    Returns (k, x, y, score, valid, n_above) arrays of length C; n_above is
+    the true count of positions above threshold (host checks overflow).
+    """
+    K, M = S.shape
+    score = S.astype(jnp.float32) * 100.0 / (4.0 * nfeat[:, None].astype(jnp.float32))
+    above = score > threshold
+    n_above = jnp.sum(above, dtype=jnp.int32)
+    flat = jnp.where(above, score, -1.0).reshape(-1)
+    top, idx = jax.lax.top_k(flat, C)
+    k = (idx // M).astype(jnp.int32)
+    j = idx % M
+    offset = T // 2 + (T % 2 - 1)
+    x = (j % W) * T + offset
+    y = (j // W) * T + offset
+    return k, x, y, top, top > threshold, n_above
+
+
+@partial(jax.jit, static_argnames=("T", "size_wh"))
+def refine_candidates(lmflat: jnp.ndarray, bank: LevelBank, T: int, size_wh,
+                      k: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                      valid: jnp.ndarray, threshold):
+    """One pyramid refinement step for all candidates at once.
+
+    Implements the candidate loop of matchClass (line2Dup.cpp:1221-1293):
+    doubling, border clamping, 16×16 local similarity, argmax update,
+    threshold filter. All candidates (across all templates) batch together.
+    """
+    w_img, h_img = size_wh
+    W, H = w_img // T, h_img // T
+    M = W * H
+    L = 8 * T * T * M
+    border = 8 * T
+    offset = T // 2 + (T % 2 - 1)
+
+    width_k = bank.width[k]
+    height_k = bank.height[k]
+    nfeat_k = bank.nfeat[k].astype(jnp.float32)
+    max_x = w_img - width_k - border
+    max_y = h_img - height_k - border
+
+    cx = jnp.minimum(jnp.maximum(x * 2 + 1, border), max_x)
+    cy = jnp.minimum(jnp.maximum(y * 2 + 1, border), max_y)
+
+    off_x = (cx // T - 8) * T  # [C]
+    off_y = (cy // T - 8) * T
+
+    fx = bank.fx[k] + off_x[:, None]  # [C, N]
+    fy = bank.fy[k] + off_y[:, None]
+    inb = (
+        bank.valid[k]
+        & (fx >= 0) & (fx < w_img) & (fy >= 0) & (fy < h_img)
+    )
+    plane = bank.label[k] * (T * T) + (fy % T) * T + (fx % T)
+    base = plane * M + (fy // T) * W + (fx // T)
+    base = jnp.where(inb, base, L).astype(jnp.int32)  # [C, N]
+
+    rr = jnp.arange(16, dtype=jnp.int32)
+    patch_off = rr[:, None] * W + rr[None, :]  # [16, 16]
+    idx = base[:, :, None, None] + patch_off[None, None]  # [C, N, 16, 16]
+    gathered = lmflat[jnp.clip(idx, 0, lmflat.shape[0] - 1)].astype(jnp.int32)
+    patch = jnp.sum(gathered, axis=1)  # [C, 16, 16]
+
+    flat = patch.reshape(patch.shape[0], 256)
+    best = jnp.argmax(flat, axis=1).astype(jnp.int32)  # first max (C++ strict >)
+    raw = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    sim = raw.astype(jnp.float32) * 100.0 / (4.0 * nfeat_k)
+    best_r = best // 16
+    best_c = best % 16
+    nx = (cx // T - 8 + best_c) * T + offset
+    ny = (cy // T - 8 + best_r) * T + offset
+    nvalid = valid & (sim >= threshold)
+    return k, nx, ny, sim, nvalid
