@@ -218,8 +218,12 @@ class Detector:
                 self._match_class(lmflats, sizes, float(threshold), class_id,
                                   max_candidates))
 
-        # sort + adjacent-dedup (line2Dup.cpp:1143-1145); the extra (x, y)
-        # tiebreak makes duplicate groups adjacent deterministically.
+        # sort + dedup (line2Dup.cpp:1143-1145). Deliberate improvement over
+        # the reference: its std::unique after an UNSTABLE sort leaves
+        # duplicate (x, y, sim, class) entries behind whenever equal-score
+        # matches interleave; the (x, y) tiebreak below makes duplicate
+        # groups adjacent so every duplicate is removed deterministically.
+        # Unique detection sets are identical (tests/test_golden_matches.py).
         matches.sort(key=lambda m: (-m.similarity, m.template_id, m.x, m.y,
                                     m.class_id))
         out: list[Match] = []

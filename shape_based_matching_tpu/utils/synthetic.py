@@ -1,0 +1,59 @@
+"""Synthetic scenes + template banks for benchmarks and entry points.
+
+Self-contained (no reference fixtures needed): draws an anchor-like polygon
+shape, trains one template from it, and derives K rotated variants via the
+direct feature-rotation path (line2Dup.cpp:1409-1451 equivalent) — the same
+construction the reference's angle_test demo uses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def synthetic_shape_image(size: int = 256, seed: int = 0) -> np.ndarray:
+    """A textured polygon on dark background; strong, well-spread edges."""
+    rng = np.random.RandomState(seed)
+    img = (rng.rand(size, size) * 20).astype(np.uint8)
+    yy, xx = np.mgrid[0:size, 0:size]
+    c = size / 2.0
+    # spiky star polygon: radius modulated by angle
+    ang = np.arctan2(yy - c, xx - c)
+    rad = np.hypot(yy - c, xx - c)
+    rmax = size * (0.28 + 0.10 * np.cos(3 * ang) + 0.06 * np.sin(7 * ang))
+    inside = rad < rmax
+    img[inside] = 200
+    hole = rad < size * (0.08 + 0.03 * np.sin(5 * ang))
+    img[hole] = 40
+    return img
+
+
+def synthetic_scene(h: int, w: int, templ: np.ndarray, n_instances: int = 3,
+                    seed: int = 1) -> np.ndarray:
+    """Paste template instances into a noisy scene."""
+    rng = np.random.RandomState(seed)
+    scene = (rng.rand(h, w) * 25).astype(np.uint8)
+    th, tw = templ.shape
+    for i in range(n_instances):
+        y = rng.randint(0, h - th)
+        x = rng.randint(0, w - tw)
+        region = scene[y : y + th, x : x + tw]
+        scene[y : y + th, x : x + tw] = np.maximum(region, templ)
+    return scene
+
+
+def build_rotated_detector(num_templates: int = 360, num_features: int = 63,
+                           T=(4, 8), size: int = 256, seed: int = 0):
+    """Detector with one trained template + (num_templates-1) rotations."""
+    from ..models.detector import Detector
+
+    det = Detector(num_features=num_features, T=T)
+    templ_img = synthetic_shape_image(size, seed)
+    mask = np.full_like(templ_img, 255)
+    tid = det.add_template(templ_img, "bench", mask)
+    assert tid == 0, "synthetic template training failed"
+    step = 360.0 / num_templates
+    c = size / 2.0
+    for i in range(1, num_templates):
+        det.add_template_rotate("bench", 0, i * step, (c, c))
+    return det, templ_img

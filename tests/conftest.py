@@ -6,13 +6,23 @@ use the 8 virtual CPU devices. Set SBM_TEST_TPU=1 to run on real devices.
 
 import os
 
+# Persistent compilation cache: the parity suite jit-compiles many shapes;
+# caching across runs cuts wall time drastically on small hosts.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/sbm_jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 if not os.environ.get("SBM_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax
+
+    # NOTE: the env var JAX_PLATFORMS may be pinned (e.g. to a TPU plugin)
+    # by the outer environment; jax.config wins over it.
+    jax.config.update("jax_platforms", "cpu")
 
 import sys
 

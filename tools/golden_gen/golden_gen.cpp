@@ -195,7 +195,7 @@ static void run_case0_train() {
         auto src = shapes.transform(img, 0, scale);
         cv::Mat m255(img.size(), CV_8UC1, cv::Scalar(255));
         cv::Mat msk = shapes.transform(m255, 0, scale) > 0;
-        int id = det.addTemplate(src, "circle", msk, (int)(150 * scale));
+        int id = det.addTemplate(src, "circle", msk, -1.0f, -1.0f, 0, "none", (int)(150 * scale));
         printf("case0_train scale=%.1f id=%d\n", scale, id);
     }
     dump_templates_json(det, "circle", "case0_train_templates.json");
@@ -241,15 +241,18 @@ static void run_kernels() {
                     int q = quantized.at<uchar>(r, c);
                     int lbl = 0;
                     while (!((q >> lbl) & 1)) ++lbl;
-                    templ.features.push_back(line2Dup::Feature(c % 60, r % 60, lbl));
+                    // width 24 + center (40,40) below keep similarityLocal
+                    // reads inside the linear-memory plane, matching the
+                    // matchClass border-clamp invariant (line2Dup.cpp:1239)
+                    templ.features.push_back(line2Dup::Feature(c % 24, r % 24, lbl));
                     ++count;
                 }
             }
         }
-        templ.width = 60;
-        templ.height = 60;
+        templ.width = 24;
+        templ.height = 24;
         FILE* f = fopen((g_out + "kern_templ_T" + std::to_string(T) + ".json").c_str(), "w");
-        fprintf(f, "{\"width\": 60, \"height\": 60, \"features\": [");
+        fprintf(f, "{\"width\": 24, \"height\": 24, \"features\": [");
         for (size_t i = 0; i < templ.features.size(); ++i)
             fprintf(f, "[%d, %d, %d]%s", templ.features[i].x, templ.features[i].y,
                     templ.features[i].label,
@@ -263,10 +266,10 @@ static void run_kernels() {
         line2Dup::similarity(lms, templ, sim, img.size(), T);
         dump_mat_u16(sim, "kern_sim_T" + std::to_string(T) + ".bin");
         cv::Mat siml;
-        line2Dup::similarityLocal(lms, templ, siml, img.size(), T, cv::Point(64, 64));
+        line2Dup::similarityLocal(lms, templ, siml, img.size(), T, cv::Point(40, 40));
         dump_mat_u16(siml, "kern_simlocal_T" + std::to_string(T) + ".bin");
         cv::Mat siml64;
-        line2Dup::similarityLocal_64(lms, templ, siml64, img.size(), T, cv::Point(64, 64));
+        line2Dup::similarityLocal_64(lms, templ, siml64, img.size(), T, cv::Point(40, 40));
         dump_mat_u8(siml64, "kern_simlocal64_T" + std::to_string(T) + ".bin");
     }
 }
