@@ -218,18 +218,25 @@ class Detector:
                 self._match_class(lmflats, sizes, float(threshold), class_id,
                                   max_candidates))
 
-        # sort + dedup (line2Dup.cpp:1143-1145). Deliberate improvement over
-        # the reference: its std::unique after an UNSTABLE sort leaves
-        # duplicate (x, y, sim, class) entries behind whenever equal-score
-        # matches interleave; the (x, y) tiebreak below makes duplicate
-        # groups adjacent so every duplicate is removed deterministically.
-        # Unique detection sets are identical (tests/test_golden_matches.py).
+        # sort + dedup (line2Dup.cpp:1143-1145). Deliberate divergence from
+        # the reference: its operator== ignores template_id, so std::unique
+        # after an UNSTABLE sort removes a nondeterministic subset of
+        # same-position detections from *different* templates (verified on
+        # case2: the reference drops tid 89 but keeps 90/94 at one position,
+        # purely by libstdc++ partition order). Different templates are
+        # different angle/scale hypotheses — we keep them all and collapse
+        # only true duplicates (same template converging from several coarse
+        # candidates). Result: a deterministic superset of the reference's
+        # match list; downstream NMS resolves same-position hypotheses.
         matches.sort(key=lambda m: (-m.similarity, m.template_id, m.x, m.y,
                                     m.class_id))
         out: list[Match] = []
+        seen = set()
         for m in matches:
-            if out and m == out[-1]:
+            key = (m.x, m.y, m.similarity, m.class_id, m.template_id)
+            if key in seen:
                 continue
+            seen.add(key)
             out.append(m)
         return out
 

@@ -48,7 +48,11 @@ class ShapeInfoProducer:
 
     @staticmethod
     def transform(src: np.ndarray, angle: float, scale: float) -> np.ndarray:
-        """Exact-90° rotations + INTER_LINEAR scaling (line2Dup.h:379-405)."""
+        """Exact-90° rotations + INTER_LINEAR scaling (line2Dup.h:379-405).
+
+        The C++ signature takes `float` — narrow to float32 so e.g. 0.7
+        resizes with the same 0.69999998... the reference uses."""
+        scale = float(np.float32(scale))
         if abs(angle - 90.0) < ANGLE_TOLERANCE:
             dst = np.flip(np.swapaxes(src, 0, 1), axis=1)  # ROTATE_90_CW
             return resize_linear_u8(np.ascontiguousarray(dst), scale, scale)

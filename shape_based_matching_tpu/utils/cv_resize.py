@@ -33,8 +33,16 @@ def _round_half_even(x: np.ndarray) -> np.ndarray:
 
 
 def _lin_coeffs(dlen: int, slen: int, scale: float):
-    """Per-output-pixel (s0, s1, a0, a1) with OpenCV border clamping."""
-    fx = (np.arange(dlen, dtype=np.float64) + 0.5) * scale - 0.5
+    """Per-output-pixel (s0, s1, a0, a1) with OpenCV border clamping.
+
+    OpenCV narrows the FULL source coordinate to float32 BEFORE the
+    floor/frac split (`float fxx = (float)((dx+0.5)*scale_x - 0.5)`); the
+    narrowing can push frac*2048 onto an exact .5 where cvRound's
+    half-to-even produces coefficient pairs like (1316, 732) — observed on
+    the bundled circle image at scale 0.7.
+    """
+    fx = ((np.arange(dlen, dtype=np.float64) + 0.5) * scale
+          - 0.5).astype(np.float32)
     sx = np.floor(fx).astype(np.int64)
     fx = (fx - sx).astype(np.float32)
     fx = np.where(sx < 0, np.float32(0), fx)

@@ -15,22 +15,37 @@ from .golden_utils import GOLDEN_DIR, load_json, load_mat
 REF = "/root/reference/test"
 
 
-# Parity contract is SET-based: the C++ dedup (std::sort + std::unique,
-# line2Dup.cpp:1143-1145) leaves duplicate (x, y, sim, template_id) entries
-# behind whenever its unstable sort interleaves equal-score matches; our
-# deterministic dedup removes all of them. Unique detection sets must agree
-# exactly (verified: case0 img3 golden carries 82 duplicated detections).
+# Parity contract (see Detector.match dedup comment): the C++ dedup
+# (std::sort + std::unique with an operator== that IGNORES template_id,
+# line2Dup.cpp:1143-1145, line2Dup.h:240-243) both leaves duplicate entries
+# behind AND removes a nondeterministic subset of same-position detections
+# from different templates. Our deterministic dedup keeps every unique
+# (x, y, sim, template_id). Contract:
+#   golden_unique ⊆ ours, and every extra of ours is a same-(x, y, sim)
+#   sibling of a kept golden entry (a cross-template duplicate the C++
+#   happened to delete).
 def _match_set(matches):
-    return sorted(set(
+    return set(
         (m["x"], m["y"], m["template_id"], round(m["similarity"], 3))
         for m in matches
-    ))
+    )
 
 
 def _our_match_set(matches):
-    return sorted(set(
+    return set(
         (m.x, m.y, m.template_id, round(m.similarity, 3)) for m in matches
-    ))
+    )
+
+
+def _assert_match_parity(ours, golden):
+    ours_set = _our_match_set(ours)
+    golden_set = _match_set(golden)
+    missing = golden_set - ours_set
+    assert not missing, f"missing golden matches: {sorted(missing)[:10]}"
+    extras = ours_set - golden_set
+    golden_pos = set((g[0], g[1], g[3]) for g in golden_set)
+    bad = [e for e in extras if (e[0], e[1], e[3]) not in golden_pos]
+    assert not bad, f"extras not explained by C++ cross-tid dedup: {bad[:10]}"
 
 
 @pytest.fixture(scope="module")
@@ -44,7 +59,7 @@ def test_case1_match_parity(det_case1):
     img = load_mat("case1_img.bin")
     matches = det_case1.match(img, 90.0, ["test"])
     want = load_json("case1_matches.json")["matches"]
-    assert _our_match_set(matches) == _match_set(want)
+    _assert_match_parity(matches, want)
 
 
 def test_case0_match_parity():
@@ -54,7 +69,7 @@ def test_case0_match_parity():
         img = load_mat(f"case0_img{i}.bin")
         matches = det.match(img, 90.0, ["circle"])
         want = load_json(f"case0_matches{i}.json")["matches"]
-        assert _our_match_set(matches) == _match_set(want), f"img{i}"
+        _assert_match_parity(matches, want)
 
 
 def test_case0_match_parity_many_matches():
@@ -63,7 +78,7 @@ def test_case0_match_parity_many_matches():
     img = load_mat("case0_img3.bin")
     matches = det.match(img, 90.0, ["circle"])
     want = load_json("case0_matches3.json")["matches"]
-    assert _our_match_set(matches) == _match_set(want)
+    _assert_match_parity(matches, want)
 
 
 def test_case2_match_and_nms_parity():
@@ -73,7 +88,7 @@ def test_case2_match_and_nms_parity():
     matches = det.match(img, 90.0, ["test"])
     golden = load_json("case2_matches.json")
     want = golden["matches"]
-    assert _our_match_set(matches) == _match_set(want)
+    _assert_match_parity(matches, want)
 
     # NMS over the golden ordering to compare kept boxes
     boxes = []
