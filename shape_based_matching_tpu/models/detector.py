@@ -25,9 +25,10 @@ from ..ops.gradients import (quantized_orientations_color,
                              quantized_orientations_gray)
 from ..ops.filters import pyr_down_u8, resize_nearest
 from ..ops.response import build_linear_memories
-from ..ops.similarity import (LevelBank, coarse_similarity,
-                              extract_candidates, pack_level_bank,
-                              refine_candidates)
+from ..ops.similarity import (LevelBank, coarse_similarity_dispatch,
+                              distinct_templates, extract_candidates,
+                              gather_bank, pack_level_bank,
+                              refine_candidates, refine_from_maps)
 from ..utils.yaml_io import (class_file_path, dump_opencv_yaml,
                              load_opencv_yaml)
 from . import training
@@ -83,7 +84,7 @@ def _build_lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
         m = lm.shape[-1]
         flat = jnp.concatenate([lm.reshape(-1),
                                 jnp.zeros((m,), jnp.uint8)])
-        lmflats.append(flat)
+        lmflats.append((lm, flat))
     return tuple(lmflats)
 
 
@@ -97,8 +98,12 @@ class Detector:
 
     def __init__(self, num_features: int = 63, T=(4, 8),
                  weak_threshold: float = 30.0,
-                 strong_threshold: float = 60.0):
+                 strong_threshold: float = 60.0,
+                 use_pallas: bool | None = None):
         self.num_features = int(num_features)
+        # None = auto (Pallas kernels on TPU, XLA elsewhere); results are
+        # bit-identical either way.
+        self.use_pallas = use_pallas
         self.T_at_level = tuple(int(t) for t in T)
         self.pyramid_levels = len(self.T_at_level)
         self.weak_threshold = float(weak_threshold)
@@ -247,8 +252,10 @@ class Detector:
         size_last = sizes[-1]
         w_last = size_last[0] // t_last
 
-        S, _positions = coarse_similarity(lmflats[-1], banks[-1], t_last,
-                                          size_last)
+        lm_last, lmflat_last = lmflats[-1]
+        S, _positions = coarse_similarity_dispatch(
+            lm_last, lmflat_last, banks[-1], t_last, size_last,
+            self.use_pallas)
         total = int(S.shape[0]) * int(S.shape[1])
 
         buckets = [c for c in _CAND_BUCKETS if c <= total] or [total]
@@ -269,9 +276,9 @@ class Detector:
                 break
 
         for l in range(self.pyramid_levels - 2, -1, -1):
-            k, x, y, sc, valid = refine_candidates(
+            k, x, y, sc, valid = self._refine_level(
                 lmflats[l], banks[l], self.T_at_level[l], sizes[l],
-                k, x, y, valid, jnp.float32(threshold))
+                k, x, y, valid, threshold)
 
         k = np.asarray(k)
         x = np.asarray(x)
@@ -282,6 +289,37 @@ class Detector:
             Match(int(x[i]), int(y[i]), float(sc[i]), class_id, int(k[i]))
             for i in np.nonzero(valid)[0]
         ]
+
+    def _refine_level(self, lmflat_pair, bank, T, size_wh, k, x, y, valid,
+                      threshold):
+        """One refinement level. Fast path: full fine maps for only the
+        distinct candidate templates (Pallas/XLA coarse kernel, unmasked)
+        + windowed argmax — exact under the border-clamp invariant. The
+        per-candidate gather fallback handles pathological banks (templates
+        wider than image - 16T, where the C++ starts dropping features)."""
+        lm, lmflat = lmflat_pair
+        w_img, h_img = size_wh
+        border = 16 * T
+        widths = np.asarray(bank.width)
+        heights = np.asarray(bank.height)
+        pathological = bool(((w_img - widths) < border).any()
+                            or ((h_img - heights) < border).any())
+        if pathological:
+            return refine_candidates(lmflat, bank, T, size_wh, k, x, y,
+                                     valid, jnp.float32(threshold))
+
+        K = int(bank.fx.shape[0])
+        d_buckets = [d for d in (16, 64, 256, 1024) if d < K] + [K]
+        for D in d_buckets:
+            slots, slot_of_k, n_distinct = distinct_templates(k, valid, K, D)
+            if int(n_distinct) <= D or D == d_buckets[-1]:
+                break
+        sub = gather_bank(bank, slots)
+        Sfull, _ = coarse_similarity_dispatch(
+            lm, lmflat, sub, T, size_wh, self.use_pallas,
+            mask_positions=False)
+        return refine_from_maps(Sfull, slot_of_k, bank, T, size_wh,
+                                k, x, y, valid, jnp.float32(threshold))
 
     # ------------------------------------------------------------------
     # Internals

@@ -1,18 +1,27 @@
-"""Pallas TPU kernel: batched coarse similarity.
+"""Pallas TPU kernel: batched coarse similarity, VMEM-resident linear memory.
 
 The coarse score is S[k, j] = sum_n LMflat[off[k, n] + j] over all M
-decimated positions — N contiguous M-byte rows summed per template. The XLA
-fallback (ops/similarity.py) scans the feature axis with whole-array
-gathers, paying an HBM round-trip of the int32 accumulator per step. This
-kernel keeps the accumulator in VMEM and double-buffers the row DMAs from
-HBM, so HBM traffic drops to the N row reads + one accumulator write:
+decimated positions (line2Dup.cpp:807-858 flat-offset semantics, including
+the deliberate row wrap). The XLA fallback (ops/similarity.py) scans the
+feature axis with whole-array gathers, paying an HBM round-trip of the int32
+accumulator per feature step — ~32 ms for 360 templates at 1024².
 
-    per template: N x M bytes in, M x 2 bytes out  (vs XLA's ~N x M x 8)
+TPU-native formulation: the coarse level's linear memories are tiny
+(8·T²·M = 2 MB for a 1024² frame at T=8), so the whole [C, Hd, Wd] stack
+stays resident in VMEM and a feature's flat shift decomposes into dynamic
+rotates — sublane rotate by dy(+1 for the wrap column), lane rotate by dx,
+and a lane-iota select between them:
 
-Grid is (K,); each program accumulates one template's score row. Feature
-offsets arrive per-program in SMEM; the linear memories stay in HBM/ANY and
-are sliced with dynamic starts (the zero-pad region at offset L serves
-invalid features, preserving the fallback's exact semantics).
+    S_contrib[r, c] = P[r+dy, c+dx]            where c+dx <  Wd
+                    = P[r+dy+1, c+dx-Wd]       where c+dx >= Wd
+
+Positions past the template span are masked after the kernel (identical to
+the fallback), which also guarantees the wrap never reads past the plane
+(off + positions <= M, see ops/similarity.py).
+
+Grid is (K,); each program accumulates its template's [Hd, Wd] score tile in
+registers from N feature contributions. No HBM traffic besides the one-time
+LM fetch and the final score write.
 """
 
 from __future__ import annotations
@@ -24,73 +33,97 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..similarity import LevelBank, _flat_offsets
+from ..similarity import LevelBank
 
 
-def _coarse_kernel(off_ref, lm_ref, out_ref, buf, sem):
-    """off_ref: SMEM [1, 1, N]; lm_ref: ANY [L+M]; out_ref: VMEM [1, M] i32;
-    buf: VMEM [2, M] u8; sem: DMA sems [2]."""
-    n_feats = off_ref.shape[2]
-    m = out_ref.shape[1]
+def _coarse_kernel(meta_ref, lm_ref, out_ref):
+    """meta_ref: SMEM [1, 2, N] (plane, flat shift s; plane==C if invalid);
+    lm_ref: VMEM [C+1, M/128, 128] u8 (planes in row-major flat layout,
+    last plane zeros); out_ref: VMEM [1, M/128, 128] i32.
 
-    def get_dma(slot, n):
-        return pltpu.make_async_copy(
-            lm_ref.at[pl.ds(off_ref[0, 0, n], m)],
-            buf.at[slot],
-            sem.at[slot],
-        )
+    A feature contributes plane<<s (flat left-shift by s): rotate rows up by
+    s//128 (s//128+1 for the carry part), lanes left by s%128, and select on
+    a lane iota. Lane dim is exactly 128 so dynamic rotates are legal.
+    """
+    n_feats = meta_ref.shape[2]
+    rows = lm_ref.shape[1]
+    lanes = lm_ref.shape[2]
 
-    get_dma(0, 0).start()
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
 
     def body(n, acc):
-        cur = jax.lax.rem(n, 2)
+        plane = meta_ref[0, 0, n]
+        s = meta_ref[0, 1, n]
+        q = s // lanes
+        r = s % lanes
+        # dynamic rotate requires 32-bit lanes; widen the u8 plane first
+        p = lm_ref[plane].astype(jnp.int32)  # leading dim is untiled
+        a = pltpu.roll(p, jax.lax.rem(rows - q, rows), axis=0)
+        a1 = pltpu.roll(p, jax.lax.rem(rows - q - 1, rows), axis=0)
+        l = pltpu.roll(a, jax.lax.rem(lanes - r, lanes), axis=1)
+        l1 = pltpu.roll(a1, jax.lax.rem(lanes - r, lanes), axis=1)
+        contrib = jnp.where(col < lanes - r, l, l1)
+        return acc + contrib
 
-        @pl.when(n + 1 < n_feats)
-        def _():
-            get_dma(jax.lax.rem(n + 1, 2), n + 1).start()
-
-        pltpu.make_async_copy(
-            lm_ref.at[pl.ds(off_ref[0, 0, n], m)], buf.at[cur], sem.at[cur]
-        ).wait()
-        return acc + buf[cur].astype(jnp.int32)
-
-    acc = jax.lax.fori_loop(0, n_feats, body,
-                            jnp.zeros((m,), jnp.int32))
-    out_ref[0, :] = acc
+    acc = jax.lax.fori_loop(
+        0, n_feats, body, jnp.zeros((rows, lanes), jnp.int32))
+    out_ref[0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("T", "size_wh", "interpret"))
-def coarse_similarity_pallas(lmflat: jnp.ndarray, bank: LevelBank, T: int,
-                             size_wh, interpret: bool = False):
-    """Drop-in replacement for ops.similarity.coarse_similarity."""
+@functools.partial(jax.jit, static_argnames=("T", "size_wh", "interpret",
+                                             "mask_positions"))
+def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
+                             size_wh, interpret: bool = False,
+                             mask_positions: bool = True):
+    """Drop-in replacement for ops.similarity.coarse_similarity.
+
+    `lm` is the [8, T*T, M] linear-memory stack from
+    ops.response.build_linear_memories (NOT the flat+padded form the XLA
+    path takes).
+    """
     w_img, h_img = size_wh
     W, H = w_img // T, h_img // T
     M = W * H
-    off = _flat_offsets(bank, T, W, M, size_wh)  # [K, N]
-    K, N = off.shape
-    off3 = off.reshape(K, 1, N)  # SMEM blocks need last-two-dims == array dims
+    C = 8 * T * T
 
+    assert M % 128 == 0, (M, "decimated grid must flatten to 128-lane rows")
+    rows = M // 128
+    lm3 = lm.reshape(C, rows, 128)
+    # plane C is all-zero: invalid/out-of-bounds features land there.
+    lm3 = jnp.concatenate([lm3, jnp.zeros((1, rows, 128), jnp.uint8)],
+                          axis=0)
+
+    inb = (
+        bank.valid
+        & (bank.fx >= 0) & (bank.fx < w_img)
+        & (bank.fy >= 0) & (bank.fy < h_img)
+    )
+    plane = bank.label * (T * T) + (bank.fy % T) * T + (bank.fx % T)
+    plane = jnp.where(inb, plane, C)
+    shift = jnp.where(inb, (bank.fy // T) * W + bank.fx // T, 0)
+    meta = jnp.stack([plane, shift], axis=1).astype(jnp.int32)  # [K, 2, N]
+
+    K, _, N = meta.shape
     S = pl.pallas_call(
         _coarse_kernel,
         grid=(K,),
         in_specs=[
-            pl.BlockSpec((1, 1, N), lambda k: (k, 0, 0),
+            pl.BlockSpec((1, 2, N), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((C + 1, rows, 128), lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, M), lambda k: (k, 0),
+        out_specs=pl.BlockSpec((1, rows, 128), lambda k: (k, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, M), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((2, M), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_shape=jax.ShapeDtypeStruct((K, rows, 128), jnp.int32),
         interpret=interpret,
-    )(off3, lmflat)
+    )(meta, lm3)
 
+    S = S.reshape(K, M)
     wf = (bank.width - 1) // T + 1
     hf = (bank.height - 1) // T + 1
     positions = (H - hf) * W + (W - wf) + 1
-    j = jnp.arange(M, dtype=jnp.int32)[None, :]
-    S = jnp.where(j < positions[:, None], S, 0)
+    if mask_positions:
+        j = jnp.arange(M, dtype=jnp.int32)[None, :]
+        S = jnp.where(j < positions[:, None], S, 0)
     return S, positions

@@ -92,9 +92,39 @@ def _flat_offsets(bank: LevelBank, T: int, W: int, M: int,
     return jnp.where(inb, off, L).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("T", "size_wh"))
+def use_pallas_default() -> bool:
+    """Pallas kernels engage automatically on TPU backends."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - no devices
+        return False
+
+
+def coarse_similarity_dispatch(lm: jnp.ndarray, lmflat: jnp.ndarray,
+                               bank: LevelBank, T: int, size_wh,
+                               use_pallas: bool | None = None,
+                               mask_positions: bool = True):
+    """Pick the Pallas TPU kernel or the XLA fallback (identical results).
+
+    `lm` is the [8, T*T, M] stack, `lmflat` its flat+zero-padded form.
+    `mask_positions=False` returns raw (unmasked) maps for refinement use.
+    """
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    if use_pallas:
+        from .pallas.similarity_pallas import coarse_similarity_pallas
+
+        return coarse_similarity_pallas(lm, bank, T, size_wh,
+                                        mask_positions=mask_positions)
+    return coarse_similarity(lmflat, bank, T, size_wh,
+                             mask_positions=mask_positions)
+
+
+@partial(jax.jit, static_argnames=("T", "size_wh", "mask_positions"))
 def coarse_similarity(lmflat: jnp.ndarray, bank: LevelBank, T: int,
-                      size_wh) -> tuple[jnp.ndarray, jnp.ndarray]:
+                      size_wh,
+                      mask_positions: bool = True
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Score all K templates over all M positions of the coarsest level.
 
     lmflat: [8*T*T*M + M] uint8 (linear memories + M-byte zero pad).
@@ -122,31 +152,123 @@ def coarse_similarity(lmflat: jnp.ndarray, bank: LevelBank, T: int,
     span_x = W - wf
     span_y = H - hf
     positions = span_y * W + span_x + 1  # may be <= 0 for oversize templates
-    j = jnp.arange(M, dtype=jnp.int32)[None, :]
-    S = jnp.where(j < positions[:, None], S, 0)
+    if mask_positions:
+        j = jnp.arange(M, dtype=jnp.int32)[None, :]
+        S = jnp.where(j < positions[:, None], S, 0)
     return S, positions
 
 
 @partial(jax.jit, static_argnames=("T", "W", "C"))
 def extract_candidates(S: jnp.ndarray, nfeat: jnp.ndarray, threshold,
                        T: int, W: int, C: int):
-    """Threshold + top-C candidate extraction (line2Dup.cpp:1200-1216).
+    """Threshold + candidate compaction (line2Dup.cpp:1200-1216).
 
+    Candidates keep the reference's (template, row-major position) order via
+    nonzero compaction (cheaper on TPU than top_k: one cumsum + scatter).
     Returns (k, x, y, score, valid, n_above) arrays of length C; n_above is
-    the true count of positions above threshold (host checks overflow).
+    the true count of positions above threshold (host checks overflow and
+    escalates C on overflow so no candidate is ever silently dropped).
     """
     K, M = S.shape
-    score = S.astype(jnp.float32) * 100.0 / (4.0 * nfeat[:, None].astype(jnp.float32))
+    score = (S.astype(jnp.float32) * 100.0
+             / (4.0 * nfeat[:, None].astype(jnp.float32)))
     above = score > threshold
     n_above = jnp.sum(above, dtype=jnp.int32)
-    flat = jnp.where(above, score, -1.0).reshape(-1)
-    top, idx = jax.lax.top_k(flat, C)
-    k = (idx // M).astype(jnp.int32)
-    j = idx % M
+    flat = above.reshape(-1)
+    (idx,) = jnp.nonzero(flat, size=C, fill_value=K * M)
+    got = idx < K * M
+    idx_safe = jnp.minimum(idx, K * M - 1)
+    sc = score.reshape(-1)[idx_safe]
+    k = (idx_safe // M).astype(jnp.int32)
+    j = idx_safe % M
     offset = T // 2 + (T % 2 - 1)
     x = (j % W) * T + offset
     y = (j // W) * T + offset
-    return k, x, y, top, top > threshold, n_above
+    return k, x, y, sc, got, n_above
+
+
+@partial(jax.jit, static_argnames=("K", "D"))
+def distinct_templates(k: jnp.ndarray, valid: jnp.ndarray, K: int, D: int):
+    """Compact the distinct template ids among valid candidates.
+
+    Returns (slots [D] template ids with K as fill, slot_of_k [K] slot index,
+    n_distinct).
+    """
+    present = jnp.zeros((K,), bool).at[jnp.where(valid, k, 0)].max(valid)
+    n_distinct = jnp.sum(present, dtype=jnp.int32)
+    (slots,) = jnp.nonzero(present, size=D, fill_value=K)
+    # slot_of_k = -1 for templates without a slot: overflow (n_distinct > D)
+    # then safely INVALIDATES those candidates instead of mis-mapping them;
+    # callers escalate D on overflow for full parity.
+    live = slots < K
+    slot_ids = jnp.where(live, jnp.arange(D, dtype=jnp.int32), -1)
+    slot_of_k = jnp.full((K,), -1, jnp.int32).at[
+        jnp.minimum(slots, K - 1)].max(slot_ids)
+    return slots, slot_of_k, n_distinct
+
+
+def gather_bank(bank: LevelBank, slots: jnp.ndarray) -> LevelBank:
+    """Sub-bank for the given template slots (id K -> all-invalid row)."""
+    K = bank.fx.shape[0]
+    safe = jnp.minimum(slots, K - 1)
+    live = slots < K
+    return LevelBank(
+        fx=bank.fx[safe],
+        fy=bank.fy[safe],
+        label=bank.label[safe],
+        valid=bank.valid[safe] & live[:, None],
+        nfeat=bank.nfeat[safe],
+        width=jnp.where(live, bank.width[safe], 1),
+        height=jnp.where(live, bank.height[safe], 1),
+    )
+
+
+@partial(jax.jit, static_argnames=("T", "size_wh"))
+def refine_from_maps(Sfull: jnp.ndarray, slot_of_k: jnp.ndarray,
+                     bank: LevelBank, T: int, size_wh,
+                     k: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                     valid: jnp.ndarray, threshold):
+    """Pyramid refinement using full fine-level score maps.
+
+    `Sfull` [D, M] holds UNMASKED fine score maps for the distinct candidate
+    templates. Under the border clamp (line2Dup.cpp:1239-1245) no feature is
+    ever dropped and all linear-memory reads stay in-plane, so the 16×16
+    local similarity (line2Dup.cpp:860-922) is exactly a window of the full
+    map: patch[rr, cc] = Sfull[slot, (cy//T-8+rr)*W + (cx//T-8+cc)].
+    """
+    w_img, h_img = size_wh
+    W, H = w_img // T, h_img // T
+    M = W * H
+    border = 8 * T
+    offset = T // 2 + (T % 2 - 1)
+
+    width_k = bank.width[k]
+    height_k = bank.height[k]
+    nfeat_k = bank.nfeat[k].astype(jnp.float32)
+    max_x = w_img - width_k - border
+    max_y = h_img - height_k - border
+    cx = jnp.minimum(jnp.maximum(x * 2 + 1, border), max_x)
+    cy = jnp.minimum(jnp.maximum(y * 2 + 1, border), max_y)
+
+    wx = cx // T - 8  # window origin in decimated grid
+    wy = cy // T - 8
+    rr = jnp.arange(16, dtype=jnp.int32)
+    slot = slot_of_k[k]
+    valid = valid & (slot >= 0)
+    base = jnp.maximum(slot, 0) * M + wy * W + wx  # [C]
+    idx = (base[:, None, None] + rr[None, :, None] * W
+           + rr[None, None, :])  # [C, 16, 16]
+    flat = Sfull.reshape(-1)
+    patch = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]  # [C, 16, 16]
+
+    pf = patch.reshape(patch.shape[0], 256)
+    best = jnp.argmax(pf, axis=1).astype(jnp.int32)
+    raw = jnp.take_along_axis(pf, best[:, None], axis=1)[:, 0]
+    sim = raw.astype(jnp.float32) * 100.0 / (4.0 * nfeat_k)
+    nx = (wx + best % 16) * T + offset
+    ny = (wy + best // 16) * T + offset
+    nvalid = valid & (sim >= threshold)
+    return k, nx, ny, sim, nvalid
 
 
 @partial(jax.jit, static_argnames=("T", "size_wh"))

@@ -25,7 +25,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.gradients import quantized_orientations_gray
 from ..ops.response import build_linear_memories
-from ..ops.similarity import LevelBank, coarse_similarity, extract_candidates
+from ..ops.similarity import (LevelBank, coarse_similarity_dispatch,
+                              extract_candidates)
 from ..ops.filters import pyr_down_u8
 
 
@@ -68,7 +69,8 @@ def multichip_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
             m = lm.shape[-1]
             lmflat = jnp.concatenate(
                 [lm.reshape(-1), jnp.zeros((m,), jnp.uint8)])
-            S, _ = coarse_similarity(lmflat, bank, t_last, size_last)
+            S, _ = coarse_similarity_dispatch(lm, lmflat, bank, t_last,
+                                              size_last)
             k, x, y, sc, vald, n_above = extract_candidates(
                 S, bank.nfeat, jnp.float32(80.0), t_last, w_last, cand_cap)
             return sc, n_above
