@@ -58,20 +58,28 @@ def hysteresis_quantize(magnitude: jnp.ndarray, angle_deg: jnp.ndarray,
     )
     q8 = jnp.where(border, q16 & 7, 0).astype(jnp.int32)
 
-    # One-hot votes over the 3x3 neighborhood: votes[b] at pixel p = number of
-    # neighbors (incl. p) whose bin == b. Padding contributes zeros to bin 0
-    # only for out-of-range taps, but those taps are never used because the
-    # output is restricted to interior pixels (border already zeroed).
-    onehot = jax.nn.one_hot(q8, 8, dtype=jnp.int32)  # [H, W, 8]
-    p = jnp.pad(onehot, ((1, 1), (1, 1), (0, 0)))
+    # 3x3 neighborhood vote histogram, nibble-packed: all 8 bin counters
+    # live in one uint32 per pixel (counts <= 9 < 16 never overflow a
+    # nibble), so the 9-tap accumulation is 9 shifted u32 adds instead of a
+    # [H, W, 8] one-hot tensor. Padding contributes no votes, but padded
+    # taps are only visible at border pixels, which are masked out anyway.
+    packed = (jnp.uint32(1) << (jnp.uint32(4) * q8.astype(jnp.uint32)))
+    p = jnp.pad(packed, ((1, 1), (1, 1)))
     votes = sum(
         p[i : i + h, j : j + w] for i in range(3) for j in range(3)
-    )  # [H, W, 8]
-    max_votes = jnp.max(votes, axis=-1)
-    best_bin = jnp.argmax(votes, axis=-1).astype(jnp.int32)  # first max wins
+    )  # [H, W] uint32, nibble b = count of bin b
+
+    # first max wins (C++ scans bins ascending with strict >)
+    max_votes = jnp.zeros_like(votes, dtype=jnp.uint32)
+    best_bin = jnp.zeros(votes.shape, dtype=jnp.uint32)
+    for b in range(8):
+        cnt = (votes >> jnp.uint32(4 * b)) & jnp.uint32(15)
+        better = cnt > max_votes
+        max_votes = jnp.where(better, cnt, max_votes)
+        best_bin = jnp.where(better, jnp.uint32(b), best_bin)
 
     ok = border & (magnitude > threshold_sq) & (max_votes >= 5)
-    out = jnp.where(ok, (1 << best_bin).astype(jnp.int32), 0)
+    out = jnp.where(ok, (jnp.uint32(1) << best_bin), jnp.uint32(0))
     return out.astype(jnp.uint8)
 
 

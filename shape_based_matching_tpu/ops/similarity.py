@@ -174,10 +174,29 @@ def extract_candidates(S: jnp.ndarray, nfeat: jnp.ndarray, threshold,
              / (4.0 * nfeat[:, None].astype(jnp.float32)))
     above = score > threshold
     n_above = jnp.sum(above, dtype=jnp.int32)
+
+    # Hierarchical compaction: XLA's scatter-based nonzero is effectively
+    # serial per element on TPU (14 ms over 1.5M entries). Instead find the
+    # (few) 128-lane blocks containing hits, then compact within them. Every
+    # hit block holds >= 1 candidate, so C blocks suffice for C candidates;
+    # overflow keeps the first C in flat order and is reported via n_above.
     flat = above.reshape(-1)
-    (idx,) = jnp.nonzero(flat, size=C, fill_value=K * M)
-    got = idx < K * M
+    total = flat.shape[0]
+    nb = -(-total // 128)
+    pad = nb * 128 - total
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), bool)])
+    blocks = flat.reshape(nb, 128)
+    rowhit = jnp.any(blocks, axis=1)
+    (rows,) = jnp.nonzero(rowhit, size=C, fill_value=nb)
+    live = rows < nb
+    sel = blocks[jnp.minimum(rows, nb - 1)] & live[:, None]  # [C, 128]
+    (pos,) = jnp.nonzero(sel.reshape(-1), size=C, fill_value=C * 128)
+    got = pos < C * 128
+    pos_safe = jnp.minimum(pos, C * 128 - 1)
+    idx = rows[pos_safe // 128] * 128 + pos_safe % 128  # global flat index
     idx_safe = jnp.minimum(idx, K * M - 1)
+
     sc = score.reshape(-1)[idx_safe]
     k = (idx_safe // M).astype(jnp.int32)
     j = idx_safe % M
