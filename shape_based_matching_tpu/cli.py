@@ -1,0 +1,264 @@
+"""Command-line driver — the test_jabil.cpp equivalent, DB-free.
+
+Mirrors the reference CLI surface (test_jabil.cpp:383-419: weak/strong
+thresholds, num features, create-templates mode, test-directory batch match,
+per-stage CSV timings, debug dumps) with a filesystem model registry instead
+of the plant database (the Persistence/Qt submodule is absent upstream;
+SURVEY.md §7.8).
+
+    # train templates from an image (+optional mask) over an angle/scale grid
+    python -m shape_based_matching_tpu train \
+        --model-dir models --class-id tag --image fiducial.png \
+        --angles 0,90,180,270 --scales 0.9:1.1:0.1 --num-features 63
+
+    # batch-match a directory of images
+    python -m shape_based_matching_tpu match \
+        --model-dir models --test-dir frames/ --threshold 90 \
+        --nms 0.5 --verify-ccorr 0.8 --csv timings.csv --annotate out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_image(path: str, gray: bool = False) -> np.ndarray:
+    try:
+        import cv2
+
+        flags = cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR
+        img = cv2.imread(path, flags)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img
+    except ImportError:
+        from PIL import Image
+
+        im = Image.open(path).convert("L" if gray else "RGB")
+        arr = np.asarray(im)
+        return arr if gray else arr[:, :, ::-1].copy()
+
+
+def _parse_range(spec: str):
+    """'0.9:1.1:0.1' -> (lo, hi, step); '1.0' -> single value."""
+    parts = [float(p) for p in spec.split(":")]
+    if len(parts) == 1:
+        return parts[0], parts[0], 1.0
+    if len(parts) == 2:
+        return parts[0], parts[1], 1.0
+    return parts[0], parts[1], parts[2]
+
+
+def crop_to_stride(img: np.ndarray, stride: int) -> np.ndarray:
+    """Crop to stride-multiple dims (test.cpp:215-218 / test_jabil.cpp:349)."""
+    h, w = img.shape[:2]
+    return img[: (h // stride) * stride, : (w // stride) * stride]
+
+
+def cmd_train(args) -> int:
+    from . import Detector, ShapeInfoProducer
+
+    det = Detector(num_features=args.num_features,
+                   T=tuple(int(t) for t in args.T.split(",")),
+                   weak_threshold=args.weak, strong_threshold=args.strong)
+
+    img = _load_image(args.image, gray=args.gray)
+    mask = (_load_image(args.mask, gray=True) if args.mask
+            else np.full(img.shape[:2], 255, np.uint8))
+
+    producer = ShapeInfoProducer(img, mask)
+    angles = [float(a) for a in args.angles.split(",")] if args.angles else [0.0]
+    lo, hi, step = _parse_range(args.scales)
+    scales = []
+    s = lo
+    while s <= hi + 1e-5:
+        scales.append(round(s, 6))
+        s += step
+
+    infos = []
+    for scale in scales:
+        for angle in angles:
+            src = producer.transform(img, angle, scale)
+            msk = ((producer.transform(mask, angle, scale) > 0)
+                   * np.uint8(255))
+            tid = det.add_template(src, args.class_id, msk, sscale=scale,
+                                   orientation=angle,
+                                   fiducial_src=os.path.basename(args.image))
+            print(f"angle={angle} scale={scale} -> template_id={tid}")
+            if tid != -1:
+                infos.append((angle, scale))
+
+    os.makedirs(args.model_dir, exist_ok=True)
+    det.write_classes(os.path.join(args.model_dir, "%s.yaml.gz"))
+    det.save_settings(os.path.join(args.model_dir, "detector_linemod.yaml"))
+    registry_path = os.path.join(args.model_dir, "registry.json")
+    registry = {}
+    if os.path.exists(registry_path):
+        with open(registry_path) as f:
+            registry = json.load(f)
+    registry[args.class_id] = {
+        "source_image": os.path.abspath(args.image),
+        "infos": [{"angle": a, "scale": s} for a, s in infos],
+    }
+    with open(registry_path, "w") as f:
+        json.dump(registry, f, indent=2)
+    print(f"saved {det.num_templates(args.class_id)} templates for "
+          f"'{args.class_id}' to {args.model_dir}")
+    return 0
+
+
+def load_registry_detector(model_dir: str):
+    from . import Detector
+
+    det = Detector.load_settings(
+        os.path.join(model_dir, "detector_linemod.yaml"))
+    registry_path = os.path.join(model_dir, "registry.json")
+    class_ids = []
+    if os.path.exists(registry_path):
+        with open(registry_path) as f:
+            class_ids = list(json.load(f).keys())
+    else:
+        class_ids = [
+            os.path.basename(p)[: -len(".yaml.gz")]
+            for p in glob.glob(os.path.join(model_dir, "*.yaml.gz"))
+        ]
+    det.read_classes(class_ids, os.path.join(model_dir, "%s.yaml.gz"))
+    return det
+
+
+def cmd_match(args) -> int:
+    from .utils.nms import nms_boxes
+    from .utils.timer import CSVStat, Timer
+    from .utils.verify import verify_match_ccorr
+    from .utils import viz
+
+    det = load_registry_detector(args.model_dir)
+    stride = det.T_at_level[-1] * (2 ** (det.pyramid_levels - 1))
+
+    paths = sorted(
+        p for p in glob.glob(os.path.join(args.test_dir, "*"))
+        if p.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")))
+    if not paths:
+        print(f"no images in {args.test_dir}", file=sys.stderr)
+        return 1
+
+    stats = CSVStat(["MATCH", "NMS", "VERIFY"])
+    for path in paths:
+        img = crop_to_stride(_load_image(path, gray=args.gray), stride)
+        timer = Timer()
+        matches = det.match(img, args.threshold)
+        timer.record("MATCH")
+
+        boxes, scores = [], []
+        for m in matches:
+            t0 = det.get_templates(m.class_id, m.template_id)[0]
+            boxes.append((m.x, m.y, t0.width, t0.height))
+            scores.append(m.similarity)
+        keep = nms_boxes(boxes, scores, 0.0, args.nms)
+        timer.record("NMS")
+
+        kept = [matches[i] for i in keep]
+        if args.verify_ccorr > 0:
+            verified = []
+            for m in kept:
+                t0 = det.get_templates(m.class_id, m.template_id)[0]
+                # verify against the matched crop itself rendered from the
+                # training source when available
+                ok = True
+                reg = os.path.join(args.model_dir, "registry.json")
+                if os.path.exists(reg):
+                    with open(reg) as f:
+                        entry = json.load(f).get(m.class_id)
+                    if entry and os.path.exists(entry["source_image"]):
+                        src = _load_image(entry["source_image"],
+                                          gray=args.gray)
+                        from .utils.verify import rotate_scale_image
+
+                        tp = det.get_templates(m.class_id, m.template_id)[0]
+                        ref = rotate_scale_image(src, tp.sscale or 1.0,
+                                                 tp.orientation)
+                        gray_scene = img if img.ndim == 2 else img.mean(2)
+                        gray_ref = ref if ref.ndim == 2 else ref.mean(2)
+                        ok, score = verify_match_ccorr(
+                            np.asarray(gray_scene), (m.x, m.y),
+                            np.asarray(gray_ref), args.verify_ccorr)
+                if ok:
+                    verified.append(m)
+            kept = verified
+        timer.record("VERIFY")
+
+        r = timer.records
+        stats.append([r.get("MATCH", 0), r.get("NMS", 0), r.get("VERIFY", 0)])
+        print(f"{os.path.basename(path)}: {len(matches)} matches, "
+              f"{len(kept)} after NMS/verify "
+              f"[match {r.get('MATCH', 0):.1f} ms]")
+        for m in kept[: args.top_k]:
+            print(f"  class={m.class_id} tid={m.template_id} "
+                  f"x={m.x} y={m.y} sim={m.similarity:.2f}")
+
+        if args.annotate:
+            os.makedirs(args.annotate, exist_ok=True)
+            out = viz.draw_matches(img, kept, det)
+            viz.save_image(out, os.path.join(
+                args.annotate, os.path.basename(path) + ".match.png"))
+        if args.debug:
+            q = det._quantized(np.asarray(img))
+            viz.save_image(viz.display_quantized(np.asarray(q.angle)),
+                           os.path.join(args.annotate or ".",
+                                        os.path.basename(path) + ".quant.png"))
+
+    if args.csv:
+        with open(args.csv, "w") as f:
+            f.write(stats.summary_csv() + "\n")
+        print(f"timing summary -> {args.csv}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="shape_based_matching_tpu",
+        description="TPU-native LINE-2D shape-based matching")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    tr = sub.add_parser("train", help="create templates (jabil -c mode)")
+    tr.add_argument("--model-dir", required=True)
+    tr.add_argument("--class-id", required=True)
+    tr.add_argument("--image", required=True)
+    tr.add_argument("--mask")
+    tr.add_argument("--angles", default="0",
+                    help="comma list; only multiples of 90 re-render pixels")
+    tr.add_argument("--scales", default="1.0", help="lo:hi:step or single")
+    tr.add_argument("--num-features", type=int, default=63)
+    tr.add_argument("--weak", type=float, default=30.0)
+    tr.add_argument("--strong", type=float, default=60.0)
+    tr.add_argument("--T", default="4,8")
+    tr.add_argument("--gray", action="store_true")
+    tr.set_defaults(fn=cmd_train)
+
+    ma = sub.add_parser("match", help="batch match a directory (jabil -t)")
+    ma.add_argument("--model-dir", required=True)
+    ma.add_argument("--test-dir", required=True)
+    ma.add_argument("--threshold", type=float, default=90.0)
+    ma.add_argument("--nms", type=float, default=0.5)
+    ma.add_argument("--verify-ccorr", type=float, default=0.0,
+                    help="TM_CCORR_NORMED gate (jabil uses 0.8; 0 disables)")
+    ma.add_argument("--top-k", type=int, default=10)
+    ma.add_argument("--csv", help="write min/max/mean stage timings CSV")
+    ma.add_argument("--annotate", help="directory for annotated outputs")
+    ma.add_argument("--debug", action="store_true",
+                    help="dump quantized-orientation images")
+    ma.add_argument("--gray", action="store_true")
+    ma.set_defaults(fn=cmd_match)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

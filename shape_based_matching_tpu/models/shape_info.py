@@ -110,3 +110,23 @@ class ShapeInfoProducer:
     def mask_of(self, info: ShapeInfo) -> np.ndarray:
         t = self.transform(self.mask, info.angle, info.scale)
         return ((t > 0) * np.uint8(255)).astype(np.uint8)
+
+    @staticmethod
+    def save_infos(infos, path: str) -> None:
+        """Persist (angle, scale) per template id — upstream save_infos
+        schema (test.cpp:200; the bundled case *_info.yaml files)."""
+        from ..utils.yaml_io import dump_opencv_yaml
+
+        dump_opencv_yaml(
+            {"infos": [{"angle": float(i.angle), "scale": float(i.scale)}
+                       for i in infos]},
+            path,
+        )
+
+    @staticmethod
+    def load_infos(path: str):
+        from ..utils.yaml_io import load_opencv_yaml
+
+        doc = load_opencv_yaml(path)
+        return [ShapeInfo(float(n["angle"]), float(n["scale"]))
+                for n in doc.get("infos", [])]

@@ -108,7 +108,7 @@ def multichip_train_step(mesh: Mesh, size_hw: tuple):
             return grads.angle, jnp.sum(cand, dtype=jnp.int32)
 
         quant, counts = jax.vmap(one)(images)
-        total = jax.lax.psum(jnp.sum(counts), "data")
+        total = jax.lax.psum(jnp.sum(counts), ("data", "templ"))
         return quant, counts, total
 
     shard = jax.shard_map(

@@ -1,0 +1,45 @@
+"""End-to-end CLI smoke test: train from a synthetic image, batch match."""
+
+import json
+import os
+
+import numpy as np
+
+from shape_based_matching_tpu.cli import main
+from shape_based_matching_tpu.utils.synthetic import (synthetic_scene,
+                                                      synthetic_shape_image)
+from shape_based_matching_tpu.utils.viz import save_image
+
+
+def test_cli_train_and_match(tmp_path):
+    templ = synthetic_shape_image(128, seed=0)
+    scene = synthetic_scene(256, 256, templ, n_instances=2, seed=5)
+
+    img_path = str(tmp_path / "templ.png")
+    save_image(templ, img_path)
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    save_image(scene, str(frames / "scene.png"))
+
+    model_dir = str(tmp_path / "models")
+    rc = main(["train", "--model-dir", model_dir, "--class-id", "shape",
+               "--image", img_path, "--angles", "0,90",
+               "--scales", "1.0", "--num-features", "48", "--gray"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(model_dir, "shape.yaml.gz"))
+    assert os.path.exists(os.path.join(model_dir, "detector_linemod.yaml"))
+    with open(os.path.join(model_dir, "registry.json")) as f:
+        registry = json.load(f)
+    assert "shape" in registry
+
+    out_dir = str(tmp_path / "out")
+    csv = str(tmp_path / "timings.csv")
+    rc = main(["match", "--model-dir", model_dir,
+               "--test-dir", str(frames), "--threshold", "80",
+               "--csv", csv, "--annotate", out_dir, "--gray"])
+    assert rc == 0
+    assert os.path.exists(csv)
+    with open(csv) as f:
+        content = f.read()
+    assert content.startswith("stat,MATCH,NMS,VERIFY")
+    assert os.path.exists(os.path.join(out_dir, "scene.png.match.png"))

@@ -1,0 +1,67 @@
+"""Detector API surface + persistence roundtrip + synthetic end-to-end."""
+
+import numpy as np
+
+from shape_based_matching_tpu import Detector
+from shape_based_matching_tpu.utils.synthetic import (build_rotated_detector,
+                                                      synthetic_scene,
+                                                      synthetic_shape_image)
+
+
+def test_api_surface(tmp_path):
+    det, _ = build_rotated_detector(num_templates=8, num_features=32,
+                                    size=128)
+    assert det.num_classes() == 1
+    assert det.class_ids() == ["bench"]
+    assert det.num_templates() == 8
+    assert det.num_templates("bench") == 8
+    assert det.get_t(0) == 4 and det.get_t(1) == 8
+    tp = det.get_templates("bench", 3)
+    assert len(tp) == det.pyramid_levels
+    assert tp[0].pyramid_level == 0
+
+    # roundtrip through the OpenCV-YAML persistence
+    fmt = str(tmp_path / "%s.yaml.gz")
+    det.write_classes(fmt)
+    det.save_settings(str(tmp_path / "detector_linemod.yaml"))
+
+    det2 = Detector.load_settings(str(tmp_path / "detector_linemod.yaml"))
+    assert det2.T_at_level == det.T_at_level
+    assert det2.num_features == det.num_features
+    det2.read_classes(["bench"], fmt)
+    assert det2.num_templates("bench") == 8
+    t1 = det.get_templates("bench", 5)[0]
+    t2 = det2.get_templates("bench", 5)[0]
+    assert [(f.x, f.y, f.label) for f in t1.features] == \
+           [(f.x, f.y, f.label) for f in t2.features]
+    assert (t1.width, t1.height, t1.tl_x, t1.tl_y) == \
+           (t2.width, t2.height, t2.tl_x, t2.tl_y)
+
+
+def test_synthetic_end_to_end_detection():
+    det, templ_img = build_rotated_detector(num_templates=4,
+                                            num_features=48, size=128)
+    scene = synthetic_scene(256, 256, templ_img, n_instances=1, seed=3)
+    matches = det.match(scene, 80.0)
+    assert matches, "expected at least one detection"
+    best = matches[0]
+    assert best.similarity > 85.0
+    # the unrotated instance should win with template 0
+    assert best.template_id == 0
+
+
+def test_match_size_validation():
+    det, _ = build_rotated_detector(num_templates=2, num_features=32,
+                                    size=128)
+    bad = np.zeros((100, 100), np.uint8)  # 100 not divisible by 16
+    try:
+        det.match(bad, 90.0)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "multiples of 16" in str(e)
+
+
+def test_add_template_failure_returns_minus1():
+    det = Detector(num_features=63)
+    flat = np.zeros((64, 64), np.uint8)  # no gradients at all
+    assert det.add_template(flat, "empty") == -1
