@@ -60,9 +60,10 @@ class Match:
 _CAND_BUCKETS = (256, 1024, 4096, 16384, 65536)
 
 
-@partial(jax.jit, static_argnames=("gray", "has_mask", "T", "levels"))
+@partial(jax.jit,
+         static_argnames=("gray", "has_mask", "T", "levels", "n_ori"))
 def _build_lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
-                      levels: int, weak_threshold):
+                      levels: int, weak_threshold, n_ori: int = 8):
     """Device pyramid: per level quantize -> spread -> responses -> linear
     memories (match() preamble, line2Dup.cpp:1084-1120)."""
     lmflats = []
@@ -74,13 +75,13 @@ def _build_lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
             if has_mask:
                 msk = resize_nearest(msk, (src.shape[0], src.shape[1]))
         if gray:
-            grads = quantized_orientations_gray(src, weak_threshold)
+            grads = quantized_orientations_gray(src, weak_threshold, n_ori)
         else:
-            grads = quantized_orientations_color(src, weak_threshold)
+            grads = quantized_orientations_color(src, weak_threshold, n_ori)
         quantized = grads.angle
         if has_mask:
             quantized = jnp.where(msk > 0, quantized, 0)
-        lm = build_linear_memories(quantized, T[l])  # [8, T*T, M]
+        lm = build_linear_memories(quantized, T[l], n_ori)  # [n_ori,T*T,M]
         m = lm.shape[-1]
         flat = jnp.concatenate([lm.reshape(-1),
                                 jnp.zeros((m,), jnp.uint8)])
@@ -99,11 +100,16 @@ class Detector:
     def __init__(self, num_features: int = 63, T=(4, 8),
                  weak_threshold: float = 30.0,
                  strong_threshold: float = 60.0,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 num_orientations: int = 8):
         self.num_features = int(num_features)
         # None = auto (Pallas kernels on TPU, XLA elsewhere); results are
         # bit-identical either way.
         self.use_pallas = use_pallas
+        # 8 = LINE-2D standard; 16 = the fork's graded-response experiment
+        # (test/ori_16bit_experiment): 32->16 angle buckets, responses 0..8.
+        assert num_orientations in (8, 16)
+        self.num_orientations = int(num_orientations)
         self.T_at_level = tuple(int(t) for t in T)
         self.pyramid_levels = len(self.T_at_level)
         self.weak_threshold = float(weak_threshold)
@@ -163,7 +169,8 @@ class Detector:
         pyramids = self.class_templates[class_id]
         src_tp = pyramids[zero_id]
         tp = training.rotate_template_features(src_tp, float(theta), center,
-                                               self.pyramid_levels)
+                                               self.pyramid_levels,
+                                               self.num_orientations)
         crop_templates(tp)
         pyramids.append(tp)
         self._banks.pop(class_id, None)
@@ -208,7 +215,7 @@ class Detector:
         lmflats = _build_lm_pyramid(
             jnp.asarray(source), mask_arr, gray, has_mask,
             self.T_at_level, self.pyramid_levels,
-            jnp.float32(self.weak_threshold))
+            jnp.float32(self.weak_threshold), self.num_orientations)
 
         sizes = self._level_sizes(source.shape[:2])
 
@@ -328,9 +335,11 @@ class Detector:
     def _quantized(self, src: np.ndarray):
         if src.ndim == 2:
             return quantized_orientations_gray(
-                jnp.asarray(src), jnp.float32(self.weak_threshold))
+                jnp.asarray(src), jnp.float32(self.weak_threshold),
+                self.num_orientations)
         return quantized_orientations_color(
-            jnp.asarray(src), jnp.float32(self.weak_threshold))
+            jnp.asarray(src), jnp.float32(self.weak_threshold),
+            self.num_orientations)
 
     def _level_sizes(self, hw) -> list[tuple]:
         h, w = int(hw[0]), int(hw[1])
@@ -376,7 +385,7 @@ class Detector:
     # ------------------------------------------------------------------
 
     def write_settings(self) -> dict:
-        return {
+        doc = {
             "pyramid_levels": self.pyramid_levels,
             "T": list(self.T_at_level),
             "type": "ColorGradient",
@@ -384,6 +393,9 @@ class Detector:
             "num_features": int(self.num_features),
             "strong_threshold": float(self.strong_threshold),
         }
+        if self.num_orientations != 8:
+            doc["num_orientations"] = self.num_orientations
+        return doc
 
     def read_settings(self, doc: dict) -> None:
         self.pyramid_levels = int(doc["pyramid_levels"])
@@ -391,6 +403,7 @@ class Detector:
         self.weak_threshold = float(doc.get("weak_threshold", 30.0))
         self.num_features = int(doc.get("num_features", 63))
         self.strong_threshold = float(doc.get("strong_threshold", 60.0))
+        self.num_orientations = int(doc.get("num_orientations", 8))
         self.class_templates.clear()
         self._banks.clear()
 

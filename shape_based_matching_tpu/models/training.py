@@ -77,16 +77,34 @@ def extract_template(grads: QuantizedGradients, mask: np.ndarray | None,
         eligible = lmax
 
     # Row-major greedy acceptance with occupancy grid (exact C++ semantics).
+    # Native C++ fast path when available; identical pure-Python fallback.
     ys, xs = np.nonzero(eligible)
-    accepted = np.zeros((h, w), dtype=bool)
-    acc_list = []
-    for r, c in zip(ys.tolist(), xs.tolist()):
-        r0, r1 = max(0, r - 2), min(h, r + 3)
-        c0, c1 = max(0, c - 2), min(w, c + 3)
-        if accepted[r0:r1, c0:c1].any():
-            continue
-        accepted[r, c] = True
-        acc_list.append((r, c))
+    from ..native import load as _load_native
+
+    lib = _load_native()
+    if lib is not None and len(ys):
+        import ctypes
+
+        ys32 = np.ascontiguousarray(ys, np.int32)
+        xs32 = np.ascontiguousarray(xs, np.int32)
+        flags = np.zeros(len(ys), np.uint8)
+        lib.sbm_greedy_accept(
+            h, w, len(ys),
+            ys32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            xs32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        acc_list = [(int(r), int(c))
+                    for r, c, f in zip(ys32, xs32, flags) if f]
+    else:
+        accepted = np.zeros((h, w), dtype=bool)
+        acc_list = []
+        for r, c in zip(ys.tolist(), xs.tolist()):
+            r0, r1 = max(0, r - 2), min(h, r + 3)
+            c0, c1 = max(0, c - 2), min(w, c + 3)
+            if accepted[r0:r1, c0:c1].any():
+                continue
+            accepted[r, c] = True
+            acc_list.append((r, c))
 
     threshold_sq = float(strong_threshold) ** 2
     candidates = []  # scan order == row-major acceptance order
@@ -121,7 +139,25 @@ class Candidate:
 
 def select_scattered_features(candidates, num_features: int,
                               distance: float):
-    """Greedy spatially-scattered subset (line2Dup.cpp:163-212), exact."""
+    """Greedy spatially-scattered subset (line2Dup.cpp:163-212), exact.
+    Native C++ fast path when available."""
+    from ..native import load as _load_native
+
+    lib = _load_native()
+    if lib is not None and candidates:
+        import ctypes
+
+        xs = np.ascontiguousarray([c.x for c in candidates], np.int32)
+        ys = np.ascontiguousarray([c.y for c in candidates], np.int32)
+        out = np.zeros(len(candidates), np.int32)
+        cnt = lib.sbm_select_scattered(
+            len(candidates),
+            xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(num_features), ctypes.c_float(distance),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return [candidates[i] for i in out[:cnt]]
+
     features = []
     distance_sq = distance * distance
     i = 0
@@ -157,7 +193,7 @@ def select_scattered_features(candidates, num_features: int,
 
 
 def rotate_template_features(tp, theta: float, center_xy,
-                             pyramid_levels: int):
+                             pyramid_levels: int, n_ori: int = 8):
     """addTemplate_rotate feature math (line2Dup.cpp:1395-1451), exact
     float32/double semantics of the C++ (Point2f stores float32; the rotation
     is computed in double then narrowed)."""
@@ -193,8 +229,9 @@ def rotate_template_features(tp, theta: float, center_xy,
                 th = np.float32(th - np.float32(360))
             while th < 0:
                 th = np.float32(th + np.float32(360))
-            label = int(np.float32(th * np.float32(16) / np.float32(360)
-                                   + np.float32(0.5))) & 7
+            label = int(np.float32(th * np.float32(2 * n_ori)
+                                   / np.float32(360)
+                                   + np.float32(0.5))) & (n_ori - 1)
             t_new.features.append(Feature(fx, fy, label, float(th)))
         out.append(t_new)
     return out

@@ -84,7 +84,8 @@ def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
     w_img, h_img = size_wh
     W, H = w_img // T, h_img // T
     M = W * H
-    C = 8 * T * T
+    n_ori = int(lm.shape[0])
+    C = n_ori * T * T
 
     assert M % 128 == 0, (M, "decimated grid must flatten to 128-lane rows")
     rows = M // 128

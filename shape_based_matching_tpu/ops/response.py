@@ -53,41 +53,59 @@ def spread(quantized: jnp.ndarray, T: int) -> jnp.ndarray:
     return _shift_or_axis(_shift_or_axis(quantized, T, 0), T, 1)
 
 
-@jax.jit
-def response_maps(spread_img: jnp.ndarray) -> jnp.ndarray:
-    """[8, H, W] uint8 cosine responses (line2Dup.cpp:637-747).
+@partial(jax.jit, static_argnames=("n_ori",))
+def response_maps(spread_img: jnp.ndarray, n_ori: int = 8) -> jnp.ndarray:
+    """[n_ori, H, W] uint8 cosine responses.
 
-    response[ori] = 4 if bit ori set, else 3 if an adjacent bit (ori±1 mod 8)
-    is set, else 0 — exactly the SIMILARITY_LUT table semantics. Pure uint8
-    arithmetic (no [8, H, W] int32 intermediates).
+    n_ori=8 (line2Dup.cpp:637-747): response[ori] = 4 if bit ori set, else 3
+    if an adjacent bit (ori±1 mod 8) is set, else 0 — exactly the
+    SIMILARITY_LUT table semantics.
+
+    n_ori=16 (ori_16bit_experiment LUT_gen.cpp:24-50): graded responses
+    8 - circular_bin_distance(nearest set bit, ori), i.e. 8,7,...,0.
     """
     s = spread_img.astype(jnp.int32)  # [H, W]
-    oris = jnp.arange(8, dtype=jnp.int32)
-    exact = (s[None] >> oris[:, None, None]) & 1
-    left = (s[None] >> ((oris + 1) & 7)[:, None, None]) & 1
-    right = (s[None] >> ((oris - 1) & 7)[:, None, None]) & 1
-    adj = left | right
-    resp = jnp.where(exact == 1, 4, jnp.where(adj == 1, 3, 0))
-    return resp.astype(jnp.uint8)
+    if n_ori == 8:
+        oris = jnp.arange(8, dtype=jnp.int32)
+        exact = (s[None] >> oris[:, None, None]) & 1
+        left = (s[None] >> ((oris + 1) & 7)[:, None, None]) & 1
+        right = (s[None] >> ((oris - 1) & 7)[:, None, None]) & 1
+        adj = left | right
+        resp = jnp.where(exact == 1, 4, jnp.where(adj == 1, 3, 0))
+        return resp.astype(jnp.uint8)
+
+    planes = []
+    for ori in range(n_ori):
+        resp = jnp.zeros(s.shape, jnp.int32)
+        # scan distances farthest-first so nearer hits overwrite
+        for d in range(n_ori // 2, -1, -1):
+            mask = ((1 << ((ori + d) % n_ori))
+                    | (1 << ((ori - d) % n_ori)))
+            hit = (s & mask) > 0
+            resp = jnp.where(hit, n_ori // 2 - d, resp)
+        planes.append(resp)
+    return jnp.stack(planes).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("T",))
 def linearize(resp: jnp.ndarray, T: int) -> jnp.ndarray:
-    """[8, H, W] responses -> [8, T*T, M] linear memories, M = (H/T)*(W/T).
+    """[n_ori, H, W] responses -> [n_ori, T*T, M] linear memories,
+    M = (H/T)*(W/T).
 
     Row (ty*T + tx) of plane `ori` holds resp[ori, ty::T, tx::T] flattened
     row-major — identical layout to the reference's linear memories so flat
     offsets agree byte-for-byte.
     """
-    _, h, w = resp.shape
+    n_ori, h, w = resp.shape
     assert h % T == 0 and w % T == 0, (h, w, T)
     hd, wd = h // T, w // T
-    x = resp.reshape(8, hd, T, wd, T)
-    x = x.transpose(0, 2, 4, 1, 3)  # [8, T, T, Hd, Wd]
-    return x.reshape(8, T * T, hd * wd)
+    x = resp.reshape(n_ori, hd, T, wd, T)
+    x = x.transpose(0, 2, 4, 1, 3)  # [n_ori, T, T, Hd, Wd]
+    return x.reshape(n_ori, T * T, hd * wd)
 
 
-@partial(jax.jit, static_argnames=("T",))
-def build_linear_memories(quantized: jnp.ndarray, T: int) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("T", "n_ori"))
+def build_linear_memories(quantized: jnp.ndarray, T: int,
+                          n_ori: int = 8) -> jnp.ndarray:
     """Fused quantized -> spread -> responses -> linear memories."""
-    return linearize(response_maps(spread(quantized, T)), T)
+    return linearize(response_maps(spread(quantized, T), n_ori), T)

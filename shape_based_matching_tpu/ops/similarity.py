@@ -74,14 +74,14 @@ def pack_level_bank(templates, n_pad: int | None = None) -> LevelBank:
 
 
 def _flat_offsets(bank: LevelBank, T: int, W: int, M: int,
-                  size_wh) -> jnp.ndarray:
+                  size_wh, n_ori: int = 8) -> jnp.ndarray:
     """Flat linear-memory offset per feature; invalid/OOB -> zero region (=L).
 
     off = (label*T*T + (y%T)*T + x%T) * M + (y//T)*W + x//T
     (accessLinearMemory, line2Dup.cpp:782-805).
     """
     w_img, h_img = size_wh
-    L = 8 * T * T * M
+    L = n_ori * T * T * M
     inb = (
         bank.valid
         & (bank.fx >= 0) & (bank.fx < w_img)
@@ -111,20 +111,22 @@ def coarse_similarity_dispatch(lm: jnp.ndarray, lmflat: jnp.ndarray,
     """
     if use_pallas is None:
         use_pallas = use_pallas_default()
+    n_ori = int(lm.shape[0])
     if use_pallas:
         from .pallas.similarity_pallas import coarse_similarity_pallas
 
         return coarse_similarity_pallas(lm, bank, T, size_wh,
                                         mask_positions=mask_positions)
     return coarse_similarity(lmflat, bank, T, size_wh,
-                             mask_positions=mask_positions)
+                             mask_positions=mask_positions, n_ori=n_ori)
 
 
-@partial(jax.jit, static_argnames=("T", "size_wh", "mask_positions"))
+@partial(jax.jit,
+         static_argnames=("T", "size_wh", "mask_positions", "n_ori"))
 def coarse_similarity(lmflat: jnp.ndarray, bank: LevelBank, T: int,
                       size_wh,
-                      mask_positions: bool = True
-                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                      mask_positions: bool = True,
+                      n_ori: int = 8) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Score all K templates over all M positions of the coarsest level.
 
     lmflat: [8*T*T*M + M] uint8 (linear memories + M-byte zero pad).
@@ -134,7 +136,7 @@ def coarse_similarity(lmflat: jnp.ndarray, bank: LevelBank, T: int,
     w_img, h_img = size_wh
     W, H = w_img // T, h_img // T
     M = W * H
-    off = _flat_offsets(bank, T, W, M, size_wh)  # [K, N]
+    off = _flat_offsets(bank, T, W, M, size_wh, n_ori)  # [K, N]
 
     def body(acc, off_n):  # off_n: [K]
         seg = jax.vmap(

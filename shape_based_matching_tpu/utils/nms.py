@@ -32,6 +32,23 @@ def nms_boxes(bboxes, scores, score_threshold: float, nms_threshold: float,
     if top_k > 0:
         pairs = pairs[:top_k]
 
+    from ..native import load as _load_native
+
+    lib = _load_native()
+    if lib is not None and pairs:
+        import ctypes
+
+        b = np.ascontiguousarray(
+            [list(map(float, bb)) for bb in bboxes], np.float32)
+        order = np.ascontiguousarray([i for _, i in pairs], np.int32)
+        out = np.zeros(len(pairs), np.int32)
+        cnt = lib.sbm_nms_boxes(
+            len(bboxes), b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(pairs), ctypes.c_float(nms_threshold), ctypes.c_float(eta),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return [int(i) for i in out[:cnt]]
+
     adaptive = nms_threshold
     keep: list[int] = []
     for _, idx in pairs:
