@@ -61,9 +61,11 @@ _CAND_BUCKETS = (256, 1024, 4096, 16384, 65536)
 
 
 @partial(jax.jit,
-         static_argnames=("gray", "has_mask", "T", "levels", "n_ori"))
+         static_argnames=("gray", "has_mask", "T", "levels", "n_ori",
+                          "patch_2843"))
 def _build_lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
-                      levels: int, weak_threshold, n_ori: int = 8):
+                      levels: int, weak_threshold, n_ori: int = 8,
+                      patch_2843: bool = False):
     """Device pyramid: per level quantize -> spread -> responses -> linear
     memories (match() preamble, line2Dup.cpp:1084-1120)."""
     lmflats = []
@@ -75,9 +77,11 @@ def _build_lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
             if has_mask:
                 msk = resize_nearest(msk, (src.shape[0], src.shape[1]))
         if gray:
-            grads = quantized_orientations_gray(src, weak_threshold, n_ori)
+            grads = quantized_orientations_gray(src, weak_threshold, n_ori,
+                                                patch_2843)
         else:
-            grads = quantized_orientations_color(src, weak_threshold, n_ori)
+            grads = quantized_orientations_color(src, weak_threshold, n_ori,
+                                                 patch_2843)
         quantized = grads.angle
         if has_mask:
             quantized = jnp.where(msk > 0, quantized, 0)
@@ -101,7 +105,8 @@ class Detector:
                  weak_threshold: float = 30.0,
                  strong_threshold: float = 60.0,
                  use_pallas: bool | None = None,
-                 num_orientations: int = 8):
+                 num_orientations: int = 8,
+                 patch_2843: bool = False):
         self.num_features = int(num_features)
         # None = auto (Pallas kernels on TPU, XLA elsewhere); results are
         # bit-identical either way.
@@ -110,6 +115,9 @@ class Detector:
         # (test/ori_16bit_experiment): 32->16 angle buckets, responses 0..8.
         assert num_orientations in (8, 16)
         self.num_orientations = int(num_orientations)
+        # opencv_contrib issue #2843 variant (compile-time-disabled in the
+        # reference, line2Dup.cpp:9): weak pixels cast no orientation votes.
+        self.patch_2843 = bool(patch_2843)
         self.T_at_level = tuple(int(t) for t in T)
         self.pyramid_levels = len(self.T_at_level)
         self.weak_threshold = float(weak_threshold)
@@ -215,7 +223,8 @@ class Detector:
         lmflats = _build_lm_pyramid(
             jnp.asarray(source), mask_arr, gray, has_mask,
             self.T_at_level, self.pyramid_levels,
-            jnp.float32(self.weak_threshold), self.num_orientations)
+            jnp.float32(self.weak_threshold), self.num_orientations,
+            self.patch_2843)
 
         sizes = self._level_sizes(source.shape[:2])
 
@@ -336,10 +345,10 @@ class Detector:
         if src.ndim == 2:
             return quantized_orientations_gray(
                 jnp.asarray(src), jnp.float32(self.weak_threshold),
-                self.num_orientations)
+                self.num_orientations, self.patch_2843)
         return quantized_orientations_color(
             jnp.asarray(src), jnp.float32(self.weak_threshold),
-            self.num_orientations)
+            self.num_orientations, self.patch_2843)
 
     def _level_sizes(self, hw) -> list[tuple]:
         h, w = int(hw[0]), int(hw[1])

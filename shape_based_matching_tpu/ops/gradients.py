@@ -39,7 +39,8 @@ class QuantizedGradients(NamedTuple):
 
 def hysteresis_quantize(magnitude: jnp.ndarray, angle_deg: jnp.ndarray,
                         threshold_sq: jnp.ndarray,
-                        n_ori: int = 8) -> jnp.ndarray:
+                        n_ori: int = 8,
+                        patch_2843: bool = False) -> jnp.ndarray:
     """n_ori-bin quantization with 3x3 majority vote (line2Dup.cpp:218-311;
     n_ori=16 follows the ori_16bit_experiment fork:
     line2Dup_16bit_ori.cpp:216-297).
@@ -50,6 +51,11 @@ def hysteresis_quantize(magnitude: jnp.ndarray, angle_deg: jnp.ndarray,
     3. 3x3 neighborhood vote: bin with most votes (lowest index wins ties)
        must have >= 5 of 9 votes; output is 1 << bin (uint8 for 8 bins,
        uint16 for 16), else 0.
+
+    patch_2843 (the opencv_contrib #2843 variant, line2Dup.cpp:9,239-257,
+    compile-time-disabled in the reference): neighbors whose magnitude is
+    <= threshold vote in shadow bins that the argmax ignores, i.e. weak
+    pixels contribute no orientation votes.
     """
     h, w = angle_deg.shape
     # convertTo(CV_8U/CV_16U, 2*n_ori/360) rounds half-to-even (cvRound).
@@ -63,6 +69,10 @@ def hysteresis_quantize(magnitude: jnp.ndarray, angle_deg: jnp.ndarray,
         & (jnp.arange(w)[None, :] < w - 1)
     )
     q8 = jnp.where(border, q16 & (n_ori - 1), 0).astype(jnp.int32)
+    if patch_2843:
+        # weak pixels vote in ignored shadow bins == no vote at all
+        weak = magnitude <= threshold_sq
+        q8 = jnp.where(border & weak, q8 + n_ori, q8)
 
     # 3x3 neighborhood vote histogram, nibble-packed: bin counters live in
     # one uint32 (8 bins) or a pair of uint32s (16 bins) per pixel (counts
@@ -76,7 +86,28 @@ def hysteresis_quantize(magnitude: jnp.ndarray, angle_deg: jnp.ndarray,
         return sum(p[i : i + h, j : j + w]
                    for i in range(3) for j in range(3))
 
-    if n_ori <= 8:
+    if patch_2843:
+        # count votes only for the real (non-shadow) bins
+        packed = jnp.where(
+            q8 < n_ori,
+            jnp.uint32(1) << (jnp.uint32(4) * (q8 % 8).astype(jnp.uint32)),
+            jnp.uint32(0))
+        if n_ori <= 8:
+            p = jnp.pad(packed, ((1, 1), (1, 1)))
+            votes = (sum(p[i : i + h, j : j + w]
+                         for i in range(3) for j in range(3)),)
+        else:
+            plo = jnp.pad(jnp.where(q8 < 8, packed, jnp.uint32(0)),
+                          ((1, 1), (1, 1)))
+            phi = jnp.pad(jnp.where((q8 >= 8) & (q8 < 16), packed,
+                                    jnp.uint32(0)), ((1, 1), (1, 1)))
+            votes = (
+                sum(plo[i : i + h, j : j + w]
+                    for i in range(3) for j in range(3)),
+                sum(phi[i : i + h, j : j + w]
+                    for i in range(3) for j in range(3)),
+            )
+    elif n_ori <= 8:
         votes = (packed_votes(q8),)
     else:
         lo = jnp.where(q8 < 8, q8, 0)
@@ -111,10 +142,12 @@ def hysteresis_quantize(magnitude: jnp.ndarray, angle_deg: jnp.ndarray,
     return out.astype(jnp.uint8 if n_ori <= 8 else jnp.uint16)
 
 
-@partial(jax.jit, static_argnames=("n_ori",))
+@partial(jax.jit, static_argnames=("n_ori", "patch_2843"))
 def quantized_orientations_gray(src: jnp.ndarray,
                                 weak_threshold: jnp.ndarray,
-                                n_ori: int = 8) -> QuantizedGradients:
+                                n_ori: int = 8,
+                                patch_2843: bool = False
+                                ) -> QuantizedGradients:
     """Gray path of quantizedOrientations (line2Dup.cpp:322-330)."""
     smoothed = gaussian_blur7_u8(src)
     dx = sobel3_f32(smoothed, dx=True)
@@ -122,14 +155,17 @@ def quantized_orientations_gray(src: jnp.ndarray,
     magnitude = dx * dx + dy * dy
     ang = phase_deg(dx, dy)
     quant = hysteresis_quantize(magnitude, ang,
-                                jnp.float32(weak_threshold) ** 2, n_ori)
+                                jnp.float32(weak_threshold) ** 2, n_ori,
+                                patch_2843)
     return QuantizedGradients(magnitude, quant, ang)
 
 
-@partial(jax.jit, static_argnames=("n_ori",))
+@partial(jax.jit, static_argnames=("n_ori", "patch_2843"))
 def quantized_orientations_color(src: jnp.ndarray,
                                  weak_threshold: jnp.ndarray,
-                                 n_ori: int = 8) -> QuantizedGradients:
+                                 n_ori: int = 8,
+                                 patch_2843: bool = False
+                                 ) -> QuantizedGradients:
     """Color path: per-channel CV_16S Sobel, pick the max-|grad|^2 channel
     with the reference's exact tie-breaking (line2Dup.cpp:331-401)."""
     smoothed = gaussian_blur7_u8(src)
@@ -148,7 +184,8 @@ def quantized_orientations_color(src: jnp.ndarray,
 
     ang = phase_deg(dx.astype(jnp.float32), dy.astype(jnp.float32))
     quant = hysteresis_quantize(magnitude, ang,
-                                jnp.float32(weak_threshold) ** 2, n_ori)
+                                jnp.float32(weak_threshold) ** 2, n_ori,
+                                patch_2843)
     return QuantizedGradients(magnitude, quant, ang)
 
 
