@@ -24,8 +24,9 @@ import numpy as np
 from ..ops.gradients import (quantized_orientations_color,
                              quantized_orientations_gray)
 from ..ops.filters import pyr_down_u8, resize_nearest
-from ..ops.response import build_linear_memories
-from ..ops.similarity import (LevelBank, coarse_similarity_dispatch,
+from ..ops.response import build_bound_memories, build_linear_memories
+from ..ops.similarity import (LevelBank, bound_scores,
+                              coarse_similarity_dispatch, compact_survivors,
                               distinct_templates, extract_candidates,
                               gather_bank, pack_level_bank,
                               refine_candidates, refine_from_maps)
@@ -89,7 +90,16 @@ def _build_lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
         m = lm.shape[-1]
         flat = jnp.concatenate([lm.reshape(-1),
                                 jnp.zeros((m,), jnp.uint8)])
-        lmflats.append((lm, flat))
+        if l == levels - 1 and src.shape[0] % (2 * T[l]) == 0 \
+                and src.shape[1] % (2 * T[l]) == 0:
+            # branch-and-bound prefilter memories for the coarsest level
+            lmb = build_bound_memories(quantized, T[l], n_ori)
+            mb = lmb.shape[-1]
+            flatb = jnp.concatenate([lmb.reshape(-1),
+                                     jnp.zeros((mb,), jnp.uint8)])
+            lmflats.append((lm, flat, (lmb, flatb)))
+        else:
+            lmflats.append((lm, flat, None))
     return tuple(lmflats)
 
 
@@ -118,6 +128,8 @@ class Detector:
         # opencv_contrib issue #2843 variant (compile-time-disabled in the
         # reference, line2Dup.cpp:9): weak pixels cast no orientation votes.
         self.patch_2843 = bool(patch_2843)
+        # exact branch-and-bound template prefilter (see bound_scores)
+        self.prefilter = True
         self.T_at_level = tuple(int(t) for t in T)
         self.pyramid_levels = len(self.T_at_level)
         self.weak_threshold = float(weak_threshold)
@@ -268,10 +280,35 @@ class Detector:
         size_last = sizes[-1]
         w_last = size_last[0] // t_last
 
-        lm_last, lmflat_last = lmflats[-1]
-        S, _positions = coarse_similarity_dispatch(
-            lm_last, lmflat_last, banks[-1], t_last, size_last,
-            self.use_pallas)
+        lm_last, lmflat_last, lm_bound = lmflats[-1]
+        bank_last = banks[-1]
+        K = int(bank_last.fx.shape[0])
+
+        # Branch-and-bound prefilter: prune templates whose score upper
+        # bound cannot clear the threshold (exact; see bound_scores).
+        slots = None
+        if lm_bound is not None and self.prefilter and K >= 512:
+            bmax = bound_scores(lm_bound[0], lm_bound[1], bank_last, t_last,
+                                size_last, self.use_pallas)
+            for D in [d for d in (64, 256, 1024) if d < K] + [K]:
+                slots, n_surv = compact_survivors(
+                    bmax, bank_last.nfeat, jnp.float32(threshold), D)
+                if int(n_surv) <= D or D == K:
+                    break
+            if int(n_surv) == K:
+                slots = None  # nothing pruned; skip the indirection
+
+        if slots is not None:
+            sub_last = gather_bank(bank_last, slots)
+            S, _positions = coarse_similarity_dispatch(
+                lm_last, lmflat_last, sub_last, t_last, size_last,
+                self.use_pallas)
+            nfeat_for_extract = sub_last.nfeat
+        else:
+            S, _positions = coarse_similarity_dispatch(
+                lm_last, lmflat_last, bank_last, t_last, size_last,
+                self.use_pallas)
+            nfeat_for_extract = bank_last.nfeat
         total = int(S.shape[0]) * int(S.shape[1])
 
         buckets = [c for c in _CAND_BUCKETS if c <= total] or [total]
@@ -280,7 +317,7 @@ class Detector:
         k = x = y = sc = valid = None
         for cap in buckets:
             k, x, y, sc, valid, n_above = extract_candidates(
-                S, banks[-1].nfeat, jnp.float32(threshold), t_last, w_last,
+                S, nfeat_for_extract, jnp.float32(threshold), t_last, w_last,
                 cap)
             n_above = int(n_above)
             if n_above <= cap or cap == buckets[-1]:
@@ -290,10 +327,13 @@ class Detector:
                         f"candidate overflow: {n_above} above threshold, "
                         f"cap {cap}; raise max_candidates for full parity")
                 break
+        if slots is not None:
+            # map sub-bank indices back to true template ids
+            k = jnp.where(valid, jnp.minimum(slots[k], K - 1), 0)
 
         for l in range(self.pyramid_levels - 2, -1, -1):
             k, x, y, sc, valid = self._refine_level(
-                lmflats[l], banks[l], self.T_at_level[l], sizes[l],
+                lmflats[l][:2], banks[l], self.T_at_level[l], sizes[l],
                 k, x, y, valid, threshold)
 
         k = np.asarray(k)

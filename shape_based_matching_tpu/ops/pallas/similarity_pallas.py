@@ -59,9 +59,11 @@ def _coarse_kernel(meta_ref, lm_ref, out_ref):
         # dynamic rotate requires 32-bit lanes; widen the u8 plane first
         p = lm_ref[plane].astype(jnp.int32)  # leading dim is untiled
         a = pltpu.roll(p, jax.lax.rem(rows - q, rows), axis=0)
-        a1 = pltpu.roll(p, jax.lax.rem(rows - q - 1, rows), axis=0)
         l = pltpu.roll(a, jax.lax.rem(lanes - r, lanes), axis=1)
-        l1 = pltpu.roll(a1, jax.lax.rem(lanes - r, lanes), axis=1)
+        # row and lane rotates commute: the carry image (rows shifted up by
+        # one more) is a STATIC roll of l — 2 dynamic + 1 static rotate
+        # instead of 4 dynamic.
+        l1 = pltpu.roll(l, rows - 1, axis=0)
         contrib = jnp.where(col < lanes - r, l, l1)
         return acc + contrib
 

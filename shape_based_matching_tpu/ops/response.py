@@ -109,3 +109,12 @@ def build_linear_memories(quantized: jnp.ndarray, T: int,
                           n_ori: int = 8) -> jnp.ndarray:
     """Fused quantized -> spread -> responses -> linear memories."""
     return linearize(response_maps(spread(quantized, T), n_ori), T)
+
+
+@partial(jax.jit, static_argnames=("T", "n_ori"))
+def build_bound_memories(quantized: jnp.ndarray, T: int,
+                         n_ori: int = 8) -> jnp.ndarray:
+    """Linear memories for the branch-and-bound prefilter: a 3T-wide spread
+    (superset of any T window whose origin falls in the covering 2T cell)
+    laid out on the 2T grid. See ops.similarity.bound_scores."""
+    return linearize(response_maps(spread(quantized, 3 * T), n_ori), 2 * T)

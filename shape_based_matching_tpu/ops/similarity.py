@@ -160,6 +160,40 @@ def coarse_similarity(lmflat: jnp.ndarray, bank: LevelBank, T: int,
     return S, positions
 
 
+def bound_scores(lm_bound: jnp.ndarray, lmflat_bound: jnp.ndarray,
+                 bank: LevelBank, T: int, size_wh,
+                 use_pallas: bool | None = None) -> jnp.ndarray:
+    """Branch-and-bound prefilter: per-template upper bound on the coarse
+    max score.
+
+    `lm_bound` holds responses of a spread-(3T) image sampled on a 2T grid
+    (built by response.build_bound_memories). For every feature and every
+    coarse cell (r8, c8), the 3T window anchored at the containing 2T cell
+    covers the T window at the true pixel, and response = max over present
+    orientations is monotone in the bit set — so the 2T-grid score dominates
+    both T-grid scores it covers. Templates whose bound never exceeds the
+    match threshold provably produce no candidates and are pruned before
+    full coarse scoring (exact: surviving scores are unchanged).
+    """
+    B, _ = coarse_similarity_dispatch(lm_bound, lmflat_bound, bank, 2 * T,
+                                      size_wh, use_pallas,
+                                      mask_positions=False)
+    return jnp.max(B, axis=1)  # [K] raw upper bound
+
+
+@partial(jax.jit, static_argnames=("D",))
+def compact_survivors(bmax: jnp.ndarray, nfeat: jnp.ndarray, threshold,
+                      D: int):
+    """Indices of templates whose bound clears the threshold (padded to D,
+    fill = K); returns (slots [D], n_survivors)."""
+    K = bmax.shape[0]
+    score = bmax.astype(jnp.float32) * 100.0 / (4.0 * nfeat.astype(jnp.float32))
+    keep = score > threshold
+    n = jnp.sum(keep, dtype=jnp.int32)
+    (slots,) = jnp.nonzero(keep, size=D, fill_value=K)
+    return slots, n
+
+
 @partial(jax.jit, static_argnames=("T", "W", "C"))
 def extract_candidates(S: jnp.ndarray, nfeat: jnp.ndarray, threshold,
                        T: int, W: int, C: int):
