@@ -54,8 +54,15 @@ def refine_matches(magnitude: jnp.ndarray, angle_deg: jnp.ndarray,
                    fx: jnp.ndarray, fy: jnp.ndarray, ftheta: jnp.ndarray,
                    fvalid: jnp.ndarray, mx: jnp.ndarray, my: jnp.ndarray,
                    mvalid: jnp.ndarray, mag_threshold,
-                   radius: int = 3, iterations: int = 3) -> RefinedPose:
-    """Batched ICP refinement.
+                   radius: int = 3, iterations: int = 5) -> RefinedPose:
+    """Batched point-to-plane ICP (Gauss-Newton over sim2).
+
+    Point-to-point ICP on dense edges is tangentially ambiguous (every
+    feature's nearest edge pixel is usually its own rounded position), so
+    small rotations/scales are invisible to it. Instead each correspondence
+    contributes its distance along the local edge NORMAL (the gradient
+    direction at the matched edge pixel), with the edge localized to
+    subpixel precision by a parabola fit of |grad| along the normal.
 
     magnitude/angle_deg: [H, W] test-image gradient maps (squared magnitude
     and raw fastAtan2 angle, as produced by quantized_orientations).
@@ -65,83 +72,99 @@ def refine_matches(magnitude: jnp.ndarray, angle_deg: jnp.ndarray,
     h, w = magnitude.shape
     C, N = fx.shape
 
-    win = 2 * radius + 1
-    offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
+    n_taps = 2 * radius + 1
+    ts = jnp.arange(-radius, radius + 1,
+                    dtype=jnp.float32)  # ray offsets along the normal
 
-    def correspondences(px, py):
-        """px/py: [C, N] float feature positions in image frame ->
-        best edge pixel per feature + weight."""
-        ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, w - 1)
-        iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, h - 1)
-        # window coordinates [C, N, win, win]
-        wy = jnp.clip(iy[..., None, None] + offs[None, None, :, None],
-                      0, h - 1)
-        wx = jnp.clip(ix[..., None, None] + offs[None, None, None, :],
-                      0, w - 1)
-        mag = magnitude[wy, wx]
-        ang = angle_deg[wy, wx]
-        agree = _angle_diff_deg(ang, ftheta[..., None, None])
-        good = (mag > mag_threshold) & (agree < 22.5)
-        # suitability: prefer close + aligned; break ties toward center
-        dist2 = (offs[None, None, :, None] ** 2
-                 + offs[None, None, None, :] ** 2).astype(jnp.float32)
-        score = jnp.where(good, -dist2 - agree / 45.0, -jnp.inf)
-        flat = score.reshape(C, N, win * win)
-        best = jnp.argmax(flat, axis=-1)
-        found = jnp.take_along_axis(flat, best[..., None], axis=-1)[..., 0]
-        found = jnp.isfinite(found)
-        by = best // win - radius
-        bx = best % win - radius
-        qx = ix.astype(jnp.float32) + bx.astype(jnp.float32)
-        qy = iy.astype(jnp.float32) + by.astype(jnp.float32)
-        return qx, qy, found
+    def signed_diff_deg(a, b):
+        d = jnp.abs(jnp.mod(a - b, 360.0))
+        return jnp.minimum(d, 360.0 - d)
+
+    def correspondences(px, py, theta_cur):
+        """Search along each feature's own normal ray for the edge crest.
+
+        The gradient direction is SIGNED (dark-to-light); matching it in
+        360° space rejects the opposite flank of thin structures, which the
+        180°-symmetric bin test would accept (and which otherwise cancels
+        the rotation signal). -> (t_signed residual along normal, nx, ny,
+        found)."""
+        ang_f = ftheta + jnp.degrees(theta_cur)[:, None]  # [C, N]
+        rad = jnp.radians(ang_f)
+        nx = jnp.cos(rad)
+        ny = jnp.sin(rad)
+        sx = jnp.clip(jnp.round(px[..., None] + ts * nx[..., None])
+                      .astype(jnp.int32), 0, w - 1)   # [C, N, taps]
+        sy = jnp.clip(jnp.round(py[..., None] + ts * ny[..., None])
+                      .astype(jnp.int32), 0, h - 1)
+        mag = magnitude[sy, sx]
+        ang = angle_deg[sy, sx]
+        good = ((mag > mag_threshold)
+                & (signed_diff_deg(ang, ang_f[..., None]) < 45.0))
+        # The blurred edge is a several-px-wide BAND above the threshold;
+        # the correspondence is the magnitude CREST along the ray (the
+        # nearest-band-pixel would always be the feature itself). Small
+        # |t| penalty picks the nearest crest on ties.
+        score = jnp.where(good, jnp.sqrt(mag) - 5.0 * jnp.abs(ts), -jnp.inf)
+        best = jnp.argmax(score, axis=-1)  # [C, N]
+        found = jnp.isfinite(
+            jnp.take_along_axis(score, best[..., None], axis=-1)[..., 0])
+
+        def tap(idx):
+            idx = jnp.clip(idx, 0, n_taps - 1)
+            return jnp.sqrt(jnp.take_along_axis(mag, idx[..., None],
+                                                axis=-1)[..., 0])
+
+        m0 = tap(best)
+        mp = tap(best + 1)
+        mm = tap(best - 1)
+        d2 = mm - 2 * m0 + mp  # concave (<0) at a magnitude crest
+        safe = jnp.where(jnp.abs(d2) > 1e-6, d2, -1e-6)
+        delta = jnp.clip(0.5 * (mm - mp) / safe, -0.5, 0.5)
+        delta = jnp.where(m0 >= jnp.maximum(mm, mp), delta, 0.0)
+        t_found = ts[best] + delta  # signed distance p -> edge crest
+        return t_found, nx, ny, found
 
     fxf = fx.astype(jnp.float32)
     fyf = fy.astype(jnp.float32)
-    # state: per-match similarity transform (a = s·e^{iθ} as (ar, ai), t)
-    ar = jnp.ones((C,), jnp.float32)
-    ai = jnp.zeros((C,), jnp.float32)
+    theta = jnp.zeros((C,), jnp.float32)
+    scale = jnp.ones((C,), jnp.float32)
     tx = mx.astype(jnp.float32)
     ty = my.astype(jnp.float32)
     resid = jnp.zeros((C,), jnp.float32)
     nfound = jnp.zeros((C,), jnp.float32)
 
     for _ in range(iterations):
-        px = ar[:, None] * fxf - ai[:, None] * fyf + tx[:, None]
-        py = ai[:, None] * fxf + ar[:, None] * fyf + ty[:, None]
-        qx, qy, found = correspondences(px, py)
+        ar = scale * jnp.cos(theta)
+        ai = scale * jnp.sin(theta)
+        vx = ar[:, None] * fxf - ai[:, None] * fyf
+        vy = ai[:, None] * fxf + ar[:, None] * fyf
+        px = vx + tx[:, None]
+        py = vy + ty[:, None]
+        t_found, nx, ny, found = correspondences(px, py, theta)
         wgt = (found & fvalid).astype(jnp.float32)
         nfound = jnp.sum(wgt, axis=1)
-        denom = jnp.maximum(nfound, 1.0)
 
-        mpx = jnp.sum(wgt * fxf, axis=1) / denom
-        mpy = jnp.sum(wgt * fyf, axis=1) / denom
-        mqx = jnp.sum(wgt * qx, axis=1) / denom
-        mqy = jnp.sum(wgt * qy, axis=1) / denom
+        # point-to-plane residual and Jacobian rows [tx, ty, dtheta, dscale]
+        # r = (p - q)·n where q = p + t_found·n  =>  r = -t_found
+        r = -t_found
+        j_t = (-vy) * nx + vx * ny                       # d/dtheta
+        j_s = (vx * nx + vy * ny) / scale[:, None]       # d/dscale
+        J = jnp.stack([nx, ny, j_t, j_s], axis=-1)       # [C, N, 4]
+        Wj = J * wgt[..., None]
+        A = jnp.einsum("cni,cnj->cij", Wj, J)
+        A = A + jnp.eye(4, dtype=jnp.float32)[None] * 1e-3
+        b = -jnp.einsum("cni,cn->ci", Wj, r)
+        delta = jnp.linalg.solve(A, b[..., None])[..., 0]  # [C, 4]
+        tx = tx + delta[:, 0]
+        ty = ty + delta[:, 1]
+        theta = theta + delta[:, 2]
+        scale = jnp.clip(scale + delta[:, 3], 0.5, 2.0)
+        resid = (jnp.sum(wgt * jnp.abs(r), axis=1)
+                 / jnp.maximum(nfound, 1.0))
 
-        cpx = fxf - mpx[:, None]
-        cpy = fyf - mpy[:, None]
-        cqx = qx - mqx[:, None]
-        cqy = qy - mqy[:, None]
-        # a = sum w * conj(p)*q / sum w*|p|^2  (complex LSQ similarity)
-        num_r = jnp.sum(wgt * (cpx * cqx + cpy * cqy), axis=1)
-        num_i = jnp.sum(wgt * (cpx * cqy - cpy * cqx), axis=1)
-        den = jnp.maximum(jnp.sum(wgt * (cpx * cpx + cpy * cpy), axis=1),
-                          1e-6)
-        ar = num_r / den
-        ai = num_i / den
-        tx = mqx - (ar * mpx - ai * mpy)
-        ty = mqy - (ai * mpx + ar * mpy)
-
-        rx = ar[:, None] * fxf - ai[:, None] * fyf + tx[:, None] - qx
-        ry = ai[:, None] * fxf + ar[:, None] * fyf + ty[:, None] - qy
-        resid = jnp.sum(wgt * jnp.sqrt(rx * rx + ry * ry), axis=1) / denom
-
-    scale = jnp.sqrt(ar * ar + ai * ai)
-    angle = jnp.degrees(jnp.arctan2(ai, ar))
     ok = mvalid & (nfound >= jnp.maximum(3.0, 0.3 * jnp.sum(
         fvalid.astype(jnp.float32), axis=1)))
-    return RefinedPose(tx, ty, angle, scale, resid, ok)
+    return RefinedPose(tx, ty, jnp.degrees(theta), scale, resid, ok)
 
 
 def refine_detections(detector, image: np.ndarray, matches,
