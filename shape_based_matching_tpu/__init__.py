@@ -19,7 +19,8 @@ Public API mirrors the reference Detector (line2Dup.h:257-333):
 
 __version__ = "0.1.0"
 
-from .models.detector import Detector, Match
+from .models.detector import Detector, Match, get_instance, reset_instance
+from .models.refine import RefinedPose, refine_detections
 from .models.template import Feature, Template
 from .models.shape_info import ShapeInfoProducer
 from .utils.nms import nms_boxes
@@ -30,6 +31,10 @@ __all__ = [
     "Feature",
     "Template",
     "ShapeInfoProducer",
+    "RefinedPose",
+    "refine_detections",
+    "get_instance",
+    "reset_instance",
     "nms_boxes",
     "__version__",
 ]

@@ -103,6 +103,39 @@ def _build_lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
     return tuple(lmflats)
 
 
+_instance: "Detector | None" = None
+
+
+def get_instance(path: str | None = None) -> "Detector":
+    """Singleton bootstrap from a settings YAML (line2Dup.cpp:1355-1393).
+
+    Loads `detector_linemod.yaml` (default: ./model_images/) plus every
+    class listed under its `classes` key from `templates_dir`.
+    """
+    global _instance
+    if _instance is None:
+        if path is None:
+            path = os.path.join(os.getcwd(), "model_images",
+                                "detector_linemod.yaml")
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                f"LINEMOD configuration file ({path}) not found!")
+        det = Detector.load_settings(path)
+        doc = load_opencv_yaml(path)
+        class_ids = doc.get("classes") or []
+        templates_dir = doc.get("templates_dir", "")
+        if class_ids:
+            det.read_classes(class_ids,
+                             os.path.join(templates_dir, "%s.yaml.gz"))
+        _instance = det
+    return _instance
+
+
+def reset_instance() -> None:
+    global _instance
+    _instance = None
+
+
 class Detector:
     """LINE-2D detector with batched TPU matching.
 

@@ -149,16 +149,15 @@ def rotate_scale_rect(rect, scale: float, angle: float, img_size_wh):
     center; returns (x, y, w, h)."""
     x, y, w, h = rect
     iw, ih = img_size_wh
-    rad = math.radians(-(-angle))  # getRotationMatrix2D(center, -angle, s)
     a = math.radians(angle)
     cos_a = math.cos(a) * scale
     sin_a = math.sin(a) * scale
     cx, cy = iw / 2.0, ih / 2.0
 
     def rot(px, py):
-        # getRotationMatrix2D with angle=-angle: [cos(-(-a)) ...] reduces to
-        # [[cos a, sin a], [-sin a, cos a]] * scale
-        return (cos_a * px + sin_a * py, -sin_a * px + cos_a * py)
+        # cv::getRotationMatrix2D(0, -angle, s) = [[s·cosA, -s·sinA],
+        # [s·sinA, s·cosA]] (OpenCV angle is CCW-positive in image coords)
+        return (cos_a * px - sin_a * py, sin_a * px + cos_a * py)
 
     tlx, tly = rot(x - cx, y - cy)
     brx, bry = rot(x + w - cx, y + h - cy)
