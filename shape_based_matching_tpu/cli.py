@@ -208,10 +208,25 @@ def cmd_match(args) -> int:
             viz.save_image(out, os.path.join(
                 args.annotate, os.path.basename(path) + ".match.png"))
         if args.debug:
-            q = det._quantized(np.asarray(img))
-            viz.save_image(viz.display_quantized(np.asarray(q.angle)),
-                           os.path.join(args.annotate or ".",
-                                        os.path.basename(path) + ".quant.png"))
+            # jabil_test1-style kernel dumps (test_old.cpp:14-113):
+            # magnitude, quantized orientations, and all response maps
+            from .ops.response import response_maps, spread
+
+            out_base = os.path.join(args.annotate or ".",
+                                    os.path.basename(path))
+            grads = det._quantized(np.asarray(img))
+            mag = np.asarray(grads.magnitude)
+            mag_img = np.sqrt(mag)
+            mag_img = (mag_img / max(mag_img.max(), 1e-6) * 255).astype(
+                np.uint8)
+            viz.save_image(mag_img, out_base + ".magnitude.png")
+            viz.save_image(viz.display_quantized(np.asarray(grads.angle)),
+                           out_base + ".quant.png")
+            sp = spread(grads.angle, det.T_at_level[0])
+            resp = np.asarray(response_maps(sp, det.num_orientations))
+            for o in range(resp.shape[0]):
+                viz.save_image((resp[o] * 63).astype(np.uint8),
+                               out_base + f".resp{o}.png")
 
     if args.csv:
         with open(args.csv, "w") as f:

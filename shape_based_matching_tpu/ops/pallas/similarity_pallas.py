@@ -89,9 +89,18 @@ def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
     n_ori = int(lm.shape[0])
     C = n_ori * T * T
 
-    assert M % 128 == 0, (M, "decimated grid must flatten to 128-lane rows")
-    rows = M // 128
-    lm3 = lm.reshape(C, rows, 128)
+    # Pad each plane to an (8 sublanes × 128 lanes) tile multiple (dynamic
+    # rotates need aligned shapes). Exact: every consumed cell j
+    # (j < positions, or inside a clamp-proven refine window) reads at
+    # j + shift < M, untouched by the zero tail; only unconsumed cells see
+    # the pad/wrap.
+    M_pad = -(-M // 1024) * 1024
+    rows = M_pad // 128
+    lm2 = lm.reshape(C, M)
+    if M_pad != M:
+        lm2 = jnp.concatenate(
+            [lm2, jnp.zeros((C, M_pad - M), jnp.uint8)], axis=1)
+    lm3 = lm2.reshape(C, rows, 128)
     # plane C is all-zero: invalid/out-of-bounds features land there.
     lm3 = jnp.concatenate([lm3, jnp.zeros((1, rows, 128), jnp.uint8)],
                           axis=0)
@@ -122,7 +131,7 @@ def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
         interpret=interpret,
     )(meta, lm3)
 
-    S = S.reshape(K, M)
+    S = S.reshape(K, M_pad)[:, :M]
     wf = (bank.width - 1) // T + 1
     hf = (bank.height - 1) // T + 1
     positions = (H - hf) * W + (W - wf) + 1

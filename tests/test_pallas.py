@@ -1,0 +1,71 @@
+"""Pallas kernel vs XLA fallback equivalence (interpret mode on CPU).
+
+The same check runs compiled on real TPU hardware via SBM_TEST_TPU=1 (and is
+part of the bench pipeline); interpret mode keeps it in the default CI.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from shape_based_matching_tpu.ops.pallas.similarity_pallas import (
+    coarse_similarity_pallas)
+from shape_based_matching_tpu.ops.similarity import (coarse_similarity,
+                                                     pack_level_bank)
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+@pytest.mark.parametrize("mask_positions", [True, False])
+def test_pallas_coarse_equals_xla(rng, mask_positions):
+    T = 8
+    H = W = 256
+    M = (H // T) * (W // T)
+    L = 8 * T * T * M
+    lm = rng.randint(0, 5, (8, T * T, M)).astype(np.uint8)
+    lmflat = jnp.concatenate([jnp.asarray(lm.reshape(-1)),
+                              jnp.zeros((M,), jnp.uint8)])
+    templates = []
+    for _ in range(23):
+        n = int(rng.randint(5, 64))
+        feats = [(int(rng.randint(0, 64)), int(rng.randint(0, 64)),
+                  int(rng.randint(0, 8))) for _ in range(n)]
+        templates.append({"features": feats, "width": 64, "height": 64})
+    bank = pack_level_bank(templates)
+
+    S0, p0 = coarse_similarity(lmflat, bank, T, (W, H),
+                               mask_positions=mask_positions)
+    S1, p1 = coarse_similarity_pallas(jnp.asarray(lm), bank, T, (W, H),
+                                      interpret=not ON_TPU,
+                                      mask_positions=mask_positions)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    a = np.asarray(S0)
+    b = np.asarray(S1)
+    if not mask_positions:
+        # Beyond `positions` the implementations legitimately diverge (the
+        # flat XLA path reads into the next plane, the Pallas roll wraps
+        # in-plane); no consumer reads those cells — refine_from_maps stays
+        # inside the clamp-proven in-plane window. Compare the defined part.
+        j = np.arange(a.shape[1])[None, :]
+        defined = j < np.asarray(p0)[:, None]
+        a = np.where(defined, a, 0)
+        b = np.where(defined, b, 0)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_coarse_16ori(rng):
+    T = 4
+    H = W = 128
+    M = (H // T) * (W // T)
+    lm = rng.randint(0, 9, (16, T * T, M)).astype(np.uint8)
+    lmflat = jnp.concatenate([jnp.asarray(lm.reshape(-1)),
+                              jnp.zeros((M,), jnp.uint8)])
+    feats = [(int(rng.randint(0, 40)), int(rng.randint(0, 40)),
+              int(rng.randint(0, 16))) for _ in range(30)]
+    bank = pack_level_bank([{"features": feats, "width": 40, "height": 40}])
+    S0, _ = coarse_similarity(lmflat, bank, T, (W, H), n_ori=16)
+    S1, _ = coarse_similarity_pallas(jnp.asarray(lm), bank, T, (W, H),
+                                     interpret=not ON_TPU)
+    np.testing.assert_array_equal(np.asarray(S0), np.asarray(S1))

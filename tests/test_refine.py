@@ -78,12 +78,18 @@ def test_refine_exact_position(trained):
     matches = det.match(scene, 85.0)
     assert matches
     m = matches[0]
+    t0 = det.get_templates("s", 0)[0]
+    # ground-truth match origin: paste position + template crop corner.
+    # The discrete grid (x ≡ T/2-1 mod T) cannot represent it exactly; the
+    # subpixel refinement must recover it.
+    true_x = 64 + t0.tl_x
+    true_y = 48 + t0.tl_y
+    assert (m.x, m.y) != (true_x, true_y) or True  # grid may or may not hit
     refined = refine_detections(det, scene, [m])
     assert refined
     r = refined[0]
-    # perfect instance: pose should stay at the discrete match (sub-pixel)
-    assert abs(r["x"] - m.x) < 1.0
-    assert abs(r["y"] - m.y) < 1.0
+    assert abs(r["x"] - true_x) < 0.7, (r, true_x)
+    assert abs(r["y"] - true_y) < 0.7, (r, true_y)
     assert abs(r["angle_delta"]) < 0.5
     assert abs(r["scale"] - 1.0) < 0.02
     assert r["residual"] < 0.8
