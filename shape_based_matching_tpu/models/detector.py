@@ -161,8 +161,11 @@ class Detector:
         # opencv_contrib issue #2843 variant (compile-time-disabled in the
         # reference, line2Dup.cpp:9): weak pixels cast no orientation votes.
         self.patch_2843 = bool(patch_2843)
-        # exact branch-and-bound template prefilter (see bound_scores)
-        self.prefilter = True
+        # exact branch-and-bound template prefilter (see bound_scores).
+        # Opt-in: measured on v5e the bound kernel costs about as much as
+        # scoring the pruned templates outright (per-feature rotate cost
+        # dominates, independent of map size); revisit with a cheaper bound.
+        self.prefilter = False
         self.T_at_level = tuple(int(t) for t in T)
         self.pyramid_levels = len(self.T_at_level)
         self.weak_threshold = float(weak_threshold)

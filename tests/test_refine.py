@@ -84,7 +84,6 @@ def test_refine_exact_position(trained):
     # subpixel refinement must recover it.
     true_x = 64 + t0.tl_x
     true_y = 48 + t0.tl_y
-    assert (m.x, m.y) != (true_x, true_y) or True  # grid may or may not hit
     refined = refine_detections(det, scene, [m])
     assert refined
     r = refined[0]
