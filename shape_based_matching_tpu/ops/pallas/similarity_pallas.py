@@ -67,9 +67,9 @@ def _coarse_kernel(meta_ref, lm_ref, out_ref):
         return jnp.where(col < lanes - r, l, l1)
 
     # Unroll the feature loop: the per-feature dynamic rotates are
-    # latency-bound, and independent features overlap (x2 unroll measured
-    # 28% faster at K=1000; x4 gives a little more ILP headroom).
-    UNROLL = 4
+    # latency-bound, and independent features overlap (K=1000 coarse:
+    # 4.6 ms rolled, 3.3 ms at x2, best at x8).
+    UNROLL = 8
     def body(i, acc):
         base = i * UNROLL
         for u in range(UNROLL):
