@@ -96,7 +96,8 @@ def cmd_train(args) -> int:
 
     os.makedirs(args.model_dir, exist_ok=True)
     det.write_classes(os.path.join(args.model_dir, "%s.yaml.gz"))
-    det.save_settings(os.path.join(args.model_dir, "detector_linemod.yaml"))
+    det.save_settings(os.path.join(args.model_dir, "detector_linemod.yaml"),
+                      templates_dir=os.path.abspath(args.model_dir))
     registry_path = os.path.join(args.model_dir, "registry.json")
     registry = {}
     if os.path.exists(registry_path):

@@ -492,8 +492,19 @@ class Detector:
         self.class_templates.clear()
         self._banks.clear()
 
-    def save_settings(self, path: str) -> None:
-        dump_opencv_yaml(self.write_settings(), path)
+    def save_settings(self, path: str, templates_dir: str | None = None,
+                      classes=None) -> None:
+        """Write detector settings; with `templates_dir`/`classes` the file
+        matches the jabil driver's full schema (test_jabil.cpp:113-117) and
+        bootstraps get_instance()."""
+        doc = self.write_settings()
+        if templates_dir is not None:
+            doc["templates_dir"] = templates_dir
+        if classes is not None:
+            doc["classes"] = list(classes)
+        elif templates_dir is not None:
+            doc["classes"] = self.class_ids()
+        dump_opencv_yaml(doc, path)
 
     @classmethod
     def load_settings(cls, path: str) -> "Detector":

@@ -65,3 +65,19 @@ def test_add_template_failure_returns_minus1():
     det = Detector(num_features=63)
     flat = np.zeros((64, 64), np.uint8)  # no gradients at all
     assert det.add_template(flat, "empty") == -1
+
+
+def test_get_instance_singleton(tmp_path):
+    import shape_based_matching_tpu as sbm
+
+    det, _ = build_rotated_detector(num_templates=2, num_features=32,
+                                    size=128)
+    model_dir = str(tmp_path)
+    det.write_classes(model_dir + "/%s.yaml.gz")
+    det.save_settings(model_dir + "/detector_linemod.yaml",
+                      templates_dir=model_dir)
+    sbm.reset_instance()
+    inst = sbm.get_instance(model_dir + "/detector_linemod.yaml")
+    assert inst.num_templates("bench") == 2
+    assert sbm.get_instance() is inst  # singleton
+    sbm.reset_instance()
