@@ -90,9 +90,12 @@ def crop_templates(tp: TemplatePyramid) -> tuple:
             min_y = min(min_y, y)
             max_x = max(max_x, x)
             max_y = max(max_y, y)
-    if min_x % 2 == 1:
+    # C-style remainder: the reference's `min_x % 2 == 1` is FALSE for
+    # negative odd values (C gives -1), so rotated templates crossing the
+    # origin keep an odd min corner. Python's % would wrongly decrement.
+    if min_x >= 0 and min_x % 2 == 1:
         min_x -= 1
-    if min_y % 2 == 1:
+    if min_y >= 0 and min_y % 2 == 1:
         min_y -= 1
     for t in tp:
         l = t.pyramid_level

@@ -16,8 +16,15 @@ and a lane-iota select between them:
                     = P[r+dy+1, c+dx-Wd]       where c+dx >= Wd
 
 Positions past the template span are masked after the kernel (identical to
-the fallback), which also guarantees the wrap never reads past the plane
-(off + positions <= M, see ops/similarity.py).
+the fallback). Consumed cells CAN read past the plane: crop_templates puts
+the max-x feature at fx == width, so when T | width (or T | height) the flat
+read off + j reaches up to W cells past M — in the C++ reference and the XLA
+fallback that lands in the next grid row of the contiguous linear-memory Mat
+(well-defined: the overread never crosses an orientation boundary because it
+requires fx%T == 0 / fy%T == 0, never plane T*T-1). Each padded plane
+therefore carries the *continuation bytes* of the flat layout (head of the
+next plane) instead of zeros, and padding is always >= max(W, 1) cells, so
+the kernel reads the same bytes as the flat layout for every consumed cell.
 
 Grid is (K,); each program accumulates its template's [Hd, Wd] score tile in
 registers from N feature contributions. No HBM traffic besides the one-time
@@ -104,16 +111,19 @@ def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
     C = n_ori * T * T
 
     # Pad each plane to an (8 sublanes × 128 lanes) tile multiple (dynamic
-    # rotates need aligned shapes). Exact: every consumed cell j
-    # (j < positions, or inside a clamp-proven refine window) reads at
-    # j + shift < M, untouched by the zero tail; only unconsumed cells see
-    # the pad/wrap.
-    M_pad = -(-M // 1024) * 1024
+    # rotates need aligned shapes). Consumed reads reach up to j + shift
+    # <= M + W (see module docstring), so pad by AT LEAST max(W, 1) extra
+    # cells and fill the pad of plane p with the head of plane p+1 — the
+    # exact bytes the reference's contiguous linear-memory Mat holds there.
+    M_pad = -(-(M + max(W, 1)) // 1024) * 1024
     rows = M_pad // 128
+    P = M_pad - M
     lm2 = lm.reshape(C, M)
-    if M_pad != M:
-        lm2 = jnp.concatenate(
-            [lm2, jnp.zeros((C, M_pad - M), jnp.uint8)], axis=1)
+    reps = -(-P // M)  # following planes needed to fill P continuation cells
+    ext = jnp.concatenate([lm2, jnp.zeros((reps, M), jnp.uint8)], axis=0)
+    cont = jnp.concatenate(
+        [ext[i + 1:i + 1 + C] for i in range(reps)], axis=1)[:, :P]
+    lm2 = jnp.concatenate([lm2, cont], axis=1)
     lm3 = lm2.reshape(C, rows, 128)
     # plane C is all-zero: invalid/out-of-bounds features land there.
     lm3 = jnp.concatenate([lm3, jnp.zeros((1, rows, 128), jnp.uint8)],

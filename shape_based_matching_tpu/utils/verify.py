@@ -168,12 +168,15 @@ def rotate_scale_rect(rect, scale: float, angle: float, img_size_wh):
         sx, sy = ih / 2.0 * scale, iw / 2.0 * scale
     else:
         sx, sy = cx * scale, cy * scale
-    nx0, ny0 = tlx + sx, tly + sy
-    nx1, ny1 = brx + sx, bry + sy
-    # cv::Rect(Point, Point) normalizes ordering and truncates toward zero
+    # cv::Rect(Point2f, Point2f) converts each corner through
+    # saturate_cast/cvRound (round-half-to-even) BEFORE normalizing order.
+    nx0 = int(np.rint(tlx + sx))
+    ny0 = int(np.rint(tly + sy))
+    nx1 = int(np.rint(brx + sx))
+    ny1 = int(np.rint(bry + sy))
     x0, x1 = sorted((nx0, nx1))
     y0, y1 = sorted((ny0, ny1))
-    return (int(x0), int(y0), int(x1 - x0), int(y1 - y0))
+    return (x0, y0, x1 - x0, y1 - y0)
 
 
 def extract_fiducial_img(matched_fiducials: dict, templ) -> np.ndarray:

@@ -136,3 +136,32 @@ def test_bound_scores_dominate(rng):
     bmax = np.asarray(bound_scores(lmb, lmbflat, bank, T, (w, h),
                                    use_pallas=False))
     assert (bmax >= true_max).all(), (bmax, true_max)
+
+
+def test_crop_templates_negative_odd_min_keeps_c_remainder():
+    """C's `min_x % 2 == 1` is FALSE for negative odd values (remainder -1),
+    so the reference (line2Dup.cpp:137-140) does NOT even-align a negative
+    odd min corner. Rotated features crossing the origin hit this."""
+    from shape_based_matching_tpu.models.template import (Feature, Template,
+                                                          crop_templates)
+
+    tp = [Template(pyramid_level=0,
+                   features=[Feature(-3, -5, 0), Feature(10, 12, 1)])]
+    crop_templates(tp)
+    t = tp[0]
+    # min corner stays (-3, -5): features rebase to (0,0) and (13,17)
+    assert (t.tl_x, t.tl_y) == (-3, -5)
+    assert (t.features[0].x, t.features[0].y) == (0, 0)
+    assert (t.features[1].x, t.features[1].y) == (13, 17)
+    # positive odd minima are still even-aligned (3 -> 2)
+    tp2 = [Template(pyramid_level=0,
+                    features=[Feature(3, 5, 0), Feature(9, 9, 1)])]
+    crop_templates(tp2)
+    assert (tp2[0].tl_x, tp2[0].tl_y) == (2, 4)
+
+    # the NumPy oracle shares the same semantics
+    ot = [{"pyramid_level": 0,
+           "features": [{"x": -3, "y": -5, "label": 0},
+                        {"x": 10, "y": 12, "label": 1}]}]
+    oracle.crop_templates(ot)
+    assert (ot[0]["tl_x"], ot[0]["tl_y"]) == (-3, -5)

@@ -44,15 +44,39 @@ def test_pallas_coarse_equals_xla(rng, mask_positions):
     a = np.asarray(S0)
     b = np.asarray(S1)
     if not mask_positions:
-        # Beyond `positions` the implementations legitimately diverge (the
-        # flat XLA path reads into the next plane, the Pallas roll wraps
-        # in-plane); no consumer reads those cells — refine_from_maps stays
-        # inside the clamp-proven in-plane window. Compare the defined part.
+        # Beyond `positions` the Pallas roll can wrap around the padded
+        # plane (j + shift >= M_pad) where the flat XLA path keeps reading
+        # forward; no consumer reads those cells — refine_from_maps stays
+        # inside the clamp-proven window. Compare the defined part.
         j = np.arange(a.shape[1])[None, :]
         defined = j < np.asarray(p0)[:, None]
         a = np.where(defined, a, 0)
         b = np.where(defined, b, 0)
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("T,hw", [(8, 256), (8, 1024), (4, 128)])
+def test_pallas_coarse_edge_features(rng, T, hw):
+    """Features at fx == width / fy == height with T | width (crop_templates
+    places the max-x/max-y feature exactly there): consumed cells then read
+    up to W bytes PAST the plane into the next grid row of the flat layout.
+    The Pallas planes carry those continuation bytes; scores must match the
+    flat XLA path bit-for-bit at every consumed position (incl. the 1024²
+    T=8 config where M is a whole tile multiple and no alignment pad exists).
+    """
+    H = W = hw
+    M = (H // T) * (W // T)
+    lm = rng.randint(0, 5, (8, T * T, M)).astype(np.uint8)
+    lmflat = jnp.concatenate([jnp.asarray(lm.reshape(-1)),
+                              jnp.zeros((M,), jnp.uint8)])
+    wh = 8 * T  # T | width so fx == width lands on grid column wf
+    feats = [(wh, wh, 3), (wh, 0, 1), (0, wh, 6), (0, 0, 0), (wh // 2, 7, 2)]
+    bank = pack_level_bank([{"features": feats, "width": wh, "height": wh}])
+    S0, p0 = coarse_similarity(lmflat, bank, T, (W, H))
+    S1, p1 = coarse_similarity_pallas(jnp.asarray(lm), bank, T, (W, H),
+                                      interpret=not ON_TPU)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(S0), np.asarray(S1))
 
 
 def test_pallas_coarse_16ori(rng):
