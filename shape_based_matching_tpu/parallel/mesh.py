@@ -6,12 +6,18 @@ The reference's only parallelism is an OpenMP loop over templates on one CPU
 
 * ``data``  — a batch of frames (each chip builds the response pyramid for
   its own frames; zero communication),
-* ``templ`` — the packed template bank (each chip scores its slice of the
-  bank against every local frame; candidate results ride ICI via
-  ``all_gather`` so every data shard ends with the full candidate set).
+* ``templ`` — the packed template bank. Each chip scores its slice of the
+  bank against every local frame, refines its own candidates through the
+  full pyramid (its bank slice + the locally-built fine-level memories are
+  all it needs — refinement is communication-free), and the refined
+  candidate lists ride ICI via ``all_gather`` so every data shard ends with
+  the complete match set.
 
-Everything runs under one ``jit`` over the mesh via ``shard_map`` — XLA
-inserts the collectives; no NCCL/MPI analog exists or is needed.
+This is the COMPLETE ``Detector::match`` pipeline (line2Dup.cpp:1078-1297)
+under one ``jit`` over the mesh via ``shard_map`` — gradients, quantization,
+spread/response/linearize per level, batched coarse scoring, candidate
+extraction, pyramid refinement, and candidate assembly. XLA inserts the
+collectives; no NCCL/MPI analog exists or is needed.
 """
 
 from __future__ import annotations
@@ -23,73 +29,250 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.gradients import quantized_orientations_gray
+from ..ops.gradients import (quantized_orientations_color,
+                             quantized_orientations_gray)
 from ..ops.response import build_linear_memories
 from ..ops.similarity import (LevelBank, coarse_similarity_dispatch,
-                              extract_candidates)
+                              distinct_templates, extract_candidates,
+                              gather_bank, refine_from_maps)
 from ..ops.filters import pyr_down_u8
 
 
 def make_mesh(n_devices: int | None = None, data: int | None = None):
-    """Build a (data, templ) mesh over the available devices."""
+    """Build a (data, templ) mesh over the available devices.
+
+    Template parallelism is favored (the bank is usually the big axis):
+    ``data=2`` only when there are >= 4 devices; with 2 devices the mesh is
+    (1, 2) so the bank actually shards.
+    """
     devs = jax.devices()
     n = n_devices or len(devs)
     if data is None:
-        # favor template parallelism (the bank is usually the big axis)
-        data = 2 if n % 2 == 0 and n > 1 else 1
+        data = 2 if n % 2 == 0 and n >= 4 else 1
     assert n % data == 0
     arr = np.array(devs[:n]).reshape(data, n // data)
     return Mesh(arr, ("data", "templ"))
 
 
-def multichip_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
-                         cand_cap: int = 64):
-    """Return a jitted step: (images [B,H,W] u8, bank per coarsest level)
-    -> (scores [B, K_total, cand_cap], counts [B]) with the template axis
-    sharded over 'templ' and the batch over 'data'.
+def shard_pad_bank(bank: LevelBank, n_shards: int) -> LevelBank:
+    """Pad the template axis to a multiple of n_shards with dead rows
+    (valid=False, nfeat=0 -> never above threshold, 1x1 bbox)."""
+    K = int(bank.fx.shape[0])
+    Kp = -(-K // n_shards) * n_shards
+    if Kp == K:
+        return bank
+    pad = Kp - K
 
-    The coarse level runs fully sharded; candidate extraction happens
-    per-shard and results are all-gathered over 'templ'.
+    def pad_kn(a, fill=0):
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+
+    return LevelBank(
+        fx=pad_kn(bank.fx), fy=pad_kn(bank.fy), label=pad_kn(bank.label),
+        valid=pad_kn(bank.valid), nfeat=pad_kn(bank.nfeat),
+        width=pad_kn(bank.width, 1), height=pad_kn(bank.height, 1))
+
+
+def _local_match(images, banks, T_levels, sizes, weak_threshold, threshold,
+                 cand_cap, distinct_cap, gray, n_ori):
+    """Full single-shard match on a batch of local frames with a local bank
+    slice: pyramid -> coarse scores -> candidates -> per-level refinement.
+    Returns packed candidate arrays [B_loc, cand_cap] with LOCAL template
+    ids, plus overflow counters (n_above, n_distinct per image)."""
+    levels = len(T_levels)
+    K_loc = banks[-1].fx.shape[0]
+    t_last = T_levels[-1]
+    w_last = sizes[-1][0] // t_last
+
+    def one_image(img):
+        lms = []
+        src = img
+        for l in range(levels):
+            if l > 0:
+                src = pyr_down_u8(src)
+            if gray:
+                g = quantized_orientations_gray(src, weak_threshold, n_ori)
+            else:
+                g = quantized_orientations_color(src, weak_threshold, n_ori)
+            lm = build_linear_memories(g.angle, T_levels[l], n_ori)
+            m = lm.shape[-1]
+            lmflat = jnp.concatenate([lm.reshape(-1),
+                                      jnp.zeros((m,), jnp.uint8)])
+            lms.append((lm, lmflat))
+
+        S, _ = coarse_similarity_dispatch(lms[-1][0], lms[-1][1], banks[-1],
+                                          t_last, sizes[-1])
+        k, x, y, sc, valid, n_above = extract_candidates(
+            S, banks[-1].nfeat, threshold, t_last, w_last, cand_cap)
+        n_distinct_max = jnp.int32(0)
+        for l in range(levels - 2, -1, -1):
+            slots, slot_of_k, nd = distinct_templates(k, valid, K_loc,
+                                                      distinct_cap)
+            n_distinct_max = jnp.maximum(n_distinct_max, nd)
+            sub = gather_bank(banks[l], slots)
+            Sfull, _ = coarse_similarity_dispatch(
+                lms[l][0], lms[l][1], sub, T_levels[l], sizes[l],
+                mask_positions=False)
+            k, x, y, sc, valid = refine_from_maps(
+                Sfull, slot_of_k, banks[l], T_levels[l], sizes[l],
+                k, x, y, valid, threshold)
+        return k, x, y, sc, valid, n_above, n_distinct_max
+
+    return jax.vmap(one_image)(images)
+
+
+def multichip_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
+                         cand_cap: int = 256, distinct_cap: int = 64,
+                         gray: bool = True, n_ori: int = 8,
+                         return_scores: bool = False):
+    """Jitted FULL match pipeline over the mesh.
+
+    step(images [B, H, W{,3}] u8, weak_threshold f32, threshold f32,
+         *bank_fields) ->
+        (k, x, y, score, valid) each [B, levels? no — cand_cap * n_templ],
+        n_above [B], n_distinct [B]
+    with the batch sharded over 'data', the bank over 'templ', and the
+    refined candidates all-gathered over 'templ' (GLOBAL template ids).
+    Bank fields are the per-level LevelBank tuples flattened in order
+    (level 0 first); template axes must be divisible by the templ size
+    (use shard_pad_bank).
+
+    With return_scores=True also returns the coarse score map S
+    [B, K_total, M_last] all-gathered over 'templ' — used by the
+    sharding-equivalence tests to check element-wise score parity.
     """
     h, w = size_hw
-    t_last = T_levels[-1]
     levels = len(T_levels)
-    size_last = (w >> (levels - 1), h >> (levels - 1))
-    w_last = size_last[0] // t_last
+    sizes = []
+    for l in range(levels):
+        sizes.append((w >> l, h >> l))
+    t_last = T_levels[-1]
 
-    def per_shard(images, fx, fy, label, valid, nfeat, width, height):
-        bank = LevelBank(fx, fy, label, valid, nfeat, width, height)
+    def per_shard(images, weak_threshold, threshold, *bank_fields):
+        banks = []
+        for l in range(levels):
+            banks.append(LevelBank(*bank_fields[7 * l:7 * (l + 1)]))
+        K_loc = banks[-1].fx.shape[0]
+        k, x, y, sc, valid, n_above, nd = _local_match(
+            images, banks, T_levels, sizes, weak_threshold, threshold,
+            cand_cap, distinct_cap, gray, n_ori)
+        # local -> global template ids
+        shard = jax.lax.axis_index("templ").astype(jnp.int32)
+        k = jnp.where(valid, k + shard * K_loc, 0)
+        # Collectives over ICI: every data shard sees all template shards.
+        k, x, y, sc, valid = (
+            jax.lax.all_gather(a, "templ", axis=1, tiled=True)
+            for a in (k, x, y, sc, valid))
+        n_above = jax.lax.psum(n_above, "templ")
+        nd = jax.lax.pmax(nd, "templ")
+        if not return_scores:
+            return k, x, y, sc, valid, n_above, nd
 
-        def one_image(img):
+        def coarse_only(img):
             src = img
             for _ in range(levels - 1):
                 src = pyr_down_u8(src)
-            grads = quantized_orientations_gray(src, jnp.float32(30.0))
-            lm = build_linear_memories(grads.angle, t_last)
+            if gray:
+                g = quantized_orientations_gray(src, weak_threshold, n_ori)
+            else:
+                g = quantized_orientations_color(src, weak_threshold, n_ori)
+            lm = build_linear_memories(g.angle, t_last, n_ori)
             m = lm.shape[-1]
-            lmflat = jnp.concatenate(
-                [lm.reshape(-1), jnp.zeros((m,), jnp.uint8)])
-            S, _ = coarse_similarity_dispatch(lm, lmflat, bank, t_last,
-                                              size_last)
-            k, x, y, sc, vald, n_above = extract_candidates(
-                S, bank.nfeat, jnp.float32(80.0), t_last, w_last, cand_cap)
-            return sc, n_above
+            lmflat = jnp.concatenate([lm.reshape(-1),
+                                      jnp.zeros((m,), jnp.uint8)])
+            S, _ = coarse_similarity_dispatch(lm, lmflat, banks[-1], t_last,
+                                              sizes[-1])
+            return S
 
-        scores, counts = jax.vmap(one_image)(images)
-        # Collectives over ICI: every data shard sees all template shards.
-        scores = jax.lax.all_gather(scores, "templ", axis=1, tiled=True)
-        counts = jax.lax.psum(counts, "templ")
-        return scores, counts
+        S = jax.vmap(coarse_only)(images)
+        S = jax.lax.all_gather(S, "templ", axis=1, tiled=True)
+        return k, x, y, sc, valid, n_above, nd, S
 
+    img_spec = P("data")
+    bank_specs = tuple(P("templ") for _ in range(7 * levels))
+    out_core = (P("data", None), P("data", None), P("data", None),
+                P("data", None), P("data", None), P("data"), P("data"))
+    out_specs = out_core + ((P("data", None, None),) if return_scores
+                            else ())
     shard = jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P("data"), P("templ"), P("templ"), P("templ"), P("templ"),
-                  P("templ"), P("templ"), P("templ")),
-        out_specs=(P("data", None), P("data")),
+        in_specs=(img_spec, P(), P()) + bank_specs,
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(shard)
+
+
+def match_images_sharded(detector, images, threshold: float,
+                         mesh: Mesh | None = None, class_id: str | None = None,
+                         cand_cap: int = 256, distinct_cap: int = 64):
+    """Host convenience: run the full sharded match for a batch of frames
+    and assemble Match lists exactly like Detector.match (sort + dedup).
+
+    The reference has no multi-frame or multi-device path at all; this is
+    the TPU-native scale-out of line2Dup.cpp:1078-1150 over frames x bank.
+    """
+    from ..models.detector import Match
+
+    if mesh is None:
+        mesh = make_mesh()
+    images = np.asarray(images)
+    assert images.ndim in (3, 4)
+    gray = images.ndim == 3
+    h, w = images.shape[1:3]
+    detector._validate_size((h, w))
+    if class_id is None:
+        (class_id,) = detector.class_ids()
+    n_data = mesh.devices.shape[0]
+    if images.shape[0] % n_data:
+        raise ValueError(f"batch {images.shape[0]} not divisible by the "
+                         f"mesh data axis ({n_data}); pad the batch")
+    banks = detector._get_banks(class_id)
+    n_templ = mesh.devices.shape[1]
+    K = int(banks[-1].fx.shape[0])
+    banks = [shard_pad_bank(b, n_templ) for b in banks]
+
+    step = multichip_match_step(
+        mesh, detector.T_at_level, (h, w), cand_cap=cand_cap,
+        distinct_cap=distinct_cap, gray=gray,
+        n_ori=detector.num_orientations)
+    fields = [f for b in banks for f in b]
+    k, x, y, sc, valid, n_above, nd = step(
+        jnp.asarray(images), jnp.float32(detector.weak_threshold),
+        jnp.float32(threshold), *fields)
+    k, x, y, sc, valid = (np.asarray(a) for a in (k, x, y, sc, valid))
+    n_above = np.asarray(n_above)
+    nd = np.asarray(nd)
+    if (n_above > cand_cap).any():
+        import warnings
+
+        warnings.warn(f"candidate overflow: max {int(n_above.max())} above "
+                      f"threshold, cap {cand_cap}; raise cand_cap for "
+                      "full parity")
+    if (nd > distinct_cap).any():
+        import warnings
+
+        warnings.warn(f"distinct-template overflow: {int(nd.max())} > "
+                      f"{distinct_cap}; raise distinct_cap for full parity")
+
+    out = []
+    for b in range(images.shape[0]):
+        matches = [
+            Match(int(x[b, i]), int(y[b, i]), float(sc[b, i]), class_id,
+                  int(k[b, i]))
+            for i in np.nonzero(valid[b] & (k[b] < K))[0]
+        ]
+        matches.sort(key=lambda m: (-m.similarity, m.template_id, m.x, m.y,
+                                    m.class_id))
+        dedup, seen = [], set()
+        for m in matches:
+            key = (m.x, m.y, m.similarity, m.class_id, m.template_id)
+            if key not in seen:
+                seen.add(key)
+                dedup.append(m)
+        out.append(dedup)
+    return out
 
 
 def multichip_train_step(mesh: Mesh, size_hw: tuple):

@@ -1,7 +1,10 @@
 """Multi-chip sharding on the virtual 8-device CPU mesh.
 
-Validates that the data×templ shard_map program compiles, runs, and produces
-the same scores as the single-device path.
+The multichip path is the FULL match pipeline (parallel/mesh.py): these
+tests assert exact match-list equality — (template_id, x, y, similarity)
+— against the single-device Detector.match for every frame, and
+element-wise coarse-score equality for every frame and every template
+shard, on several mesh shapes.
 """
 
 import numpy as np
@@ -10,61 +13,103 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from shape_based_matching_tpu.ops.similarity import (
-    LevelBank, coarse_similarity, extract_candidates, pack_level_bank)
+from shape_based_matching_tpu import Detector
+from shape_based_matching_tpu.ops.filters import pyr_down_u8
+from shape_based_matching_tpu.ops.gradients import quantized_orientations_gray
+from shape_based_matching_tpu.ops.response import build_linear_memories
+from shape_based_matching_tpu.ops.similarity import coarse_similarity
 from shape_based_matching_tpu.parallel.mesh import (make_mesh,
+                                                    match_images_sharded,
                                                     multichip_match_step,
-                                                    multichip_train_step)
+                                                    multichip_train_step,
+                                                    shard_pad_bank)
+from shape_based_matching_tpu.utils.synthetic import (synthetic_scene,
+                                                      synthetic_shape_image)
+
+
+def _need_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} (virtual) devices")
 
 
 @pytest.fixture(scope="module")
-def mesh():
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 (virtual) devices")
-    return make_mesh(8)
+def det_and_images():
+    templ = synthetic_shape_image(96, seed=3)
+    det = Detector(num_features=63)
+    tid = det.add_template(templ, "s", np.full_like(templ, 255))
+    assert tid == 0
+    for theta in (30.0, 60.0, 90.0, 120.0, 150.0):
+        det.add_template_rotate("s", 0, theta, (48.0, 48.0))
+    images = np.stack([
+        np.asarray(synthetic_scene(192, 192, templ, n_instances=2, seed=s))
+        for s in (17, 23, 29, 5)
+    ])
+    return det, images
 
 
-def _random_bank(rng, K, N=8, wh=24):
-    templates = []
-    for _ in range(K):
-        feats = [(int(rng.randint(0, wh)), int(rng.randint(0, wh)),
-                  int(rng.randint(0, 8))) for _ in range(N)]
-        templates.append({"features": feats, "width": wh, "height": wh})
-    return pack_level_bank(templates)
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 2)])
+def test_multichip_match_list_equals_single_device(det_and_images,
+                                                   mesh_shape):
+    """The sharded pipeline must produce the exact same match list as
+    Detector.match — full pyramid refinement included."""
+    data, templ_ax = mesh_shape
+    _need_devices(data * templ_ax)
+    mesh = make_mesh(data * templ_ax, data=data)
+    det, images = det_and_images
+
+    single = [det.match(img, 70.0) for img in images]
+    multi = match_images_sharded(det, images, 70.0, mesh)
+
+    for b in range(images.shape[0]):
+        got = [(m.template_id, m.x, m.y, m.similarity) for m in multi[b]]
+        want = [(m.template_id, m.x, m.y, m.similarity) for m in single[b]]
+        assert got == want, (b, got[:5], want[:5])
+        assert want, f"test scene {b} produced no matches (weak fixture)"
 
 
-def test_multichip_match_matches_single_device(mesh, rng):
-    H = W = 64
-    B, K = 4, 16
-    images = (rng.rand(B, H, W) * 255).astype(np.uint8)
-    bank = _random_bank(rng, K)
+def test_multichip_coarse_scores_elementwise(det_and_images):
+    """Element-wise coarse-score parity for ALL images and ALL template
+    shards (not just counts)."""
+    _need_devices(8)
+    mesh = make_mesh(8)  # (2, 4)
+    det, images = det_and_images
+    banks = det._get_banks("s")
+    K = int(banks[-1].fx.shape[0])
+    n_templ = mesh.devices.shape[1]
+    pbanks = [shard_pad_bank(b, n_templ) for b in banks]
 
-    step = multichip_match_step(mesh, (4, 8), (H, W), cand_cap=16)
-    scores, counts = step(jnp.asarray(images), bank.fx, bank.fy, bank.label,
-                          bank.valid, bank.nfeat, bank.width, bank.height)
-    scores = np.asarray(scores)
-    n_templ_shards = mesh.devices.shape[1]
-    assert scores.shape == (B, n_templ_shards * 16)
+    step = multichip_match_step(mesh, det.T_at_level, images.shape[1:3],
+                                cand_cap=64, distinct_cap=16,
+                                return_scores=True)
+    fields = [f for b in pbanks for f in b]
+    *_, S = step(jnp.asarray(images), jnp.float32(30.0), jnp.float32(80.0),
+                 *fields)
+    S = np.asarray(S)[:, :K]  # drop shard padding rows
 
-    # single-device reference for image 0: counts must agree
-    from shape_based_matching_tpu.ops.filters import pyr_down_u8
-    from shape_based_matching_tpu.ops.gradients import (
-        quantized_orientations_gray)
-    from shape_based_matching_tpu.ops.response import build_linear_memories
-
-    src = pyr_down_u8(jnp.asarray(images[0]))
-    grads = quantized_orientations_gray(src, jnp.float32(30.0))
-    lm = build_linear_memories(grads.angle, 8)
-    m = lm.shape[-1]
-    lmflat = jnp.concatenate([lm.reshape(-1), jnp.zeros((m,), jnp.uint8)])
-    S, _ = coarse_similarity(lmflat, bank, 8, (W // 2, H // 2))
-    _, _, _, _, _, n_above = extract_candidates(
-        S, bank.nfeat, jnp.float32(80.0), 8, (W // 2) // 8, 16)
-    total_counts = np.asarray(counts)
-    assert int(total_counts[0]) == int(n_above)
+    h, w = images.shape[1:3]
+    for b in range(images.shape[0]):
+        src = pyr_down_u8(jnp.asarray(images[b]))
+        grads = quantized_orientations_gray(src, jnp.float32(30.0))
+        lm = build_linear_memories(grads.angle, 8)
+        m = lm.shape[-1]
+        lmflat = jnp.concatenate([lm.reshape(-1), jnp.zeros((m,), jnp.uint8)])
+        S_ref, _ = coarse_similarity(lmflat, banks[-1], 8, (w // 2, h // 2))
+        np.testing.assert_array_equal(S[b], np.asarray(S_ref))
 
 
-def test_multichip_train_step(mesh, rng):
+def test_make_mesh_small_counts():
+    """n=2 must give (1, 2) — template parallelism, not a dead (2, 1)."""
+    _need_devices(2)
+    assert make_mesh(2).devices.shape == (1, 2)
+    if len(jax.devices()) >= 4:
+        assert make_mesh(4).devices.shape == (2, 2)
+    if len(jax.devices()) >= 8:
+        assert make_mesh(8).devices.shape == (2, 4)
+
+
+def test_multichip_train_step(rng):
+    _need_devices(8)
+    mesh = make_mesh(8)
     H = W = 64
     B = 16
     images = (rng.rand(B, H, W) * 255).astype(np.uint8)
@@ -75,8 +120,7 @@ def test_multichip_train_step(mesh, rng):
 
 
 def test_graft_entry_dryrun():
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 (virtual) devices")
+    _need_devices(8)
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
