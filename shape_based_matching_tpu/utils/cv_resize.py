@@ -12,9 +12,13 @@ Subtleties verified against the OpenCV 4.6 C++ library:
 * when the true scales are exactly (2, 2), INTER_LINEAR silently switches to
   the INTER_AREA 2×2 fast path: dst = (s00+s01+s10+s11+2)>>2, with
   round-half-even means on clipped boundary blocks;
-* exactness: bit-exact for all downscales (the reference's producer uses
-  scales <= 1.1); for upscales OpenCV 4.x dispatches a different ("bit-exact"
-  Q8) kernel and this replica may differ by ±1 LSB on ~0.3% of pixels.
+* border handling is per-axis: horizontal coefficients are clamped to
+  (2048, 0) at the image edges, vertical coefficients keep their fraction
+  and only the source row indices are clipped (see _lin_coeffs);
+* exactness: bit-identical to libopencv 4.6 for down- AND upscales —
+  verified on 563 randomized cases (sizes 1..256 px, scales 0.05..8,
+  gray+color, fx/fy and explicit-dsize paths;
+  tools/golden_gen/probe_build.cpp, probe_resize2.cpp).
 
 The producer's scale sweep (ShapeInfoProducer.transform) feeds template
 training, so this must match the C++ exactly for training parity on the
@@ -32,32 +36,46 @@ def _round_half_even(x: np.ndarray) -> np.ndarray:
     return np.rint(x).astype(np.int64)
 
 
-def _lin_coeffs(dlen: int, slen: int, scale: float):
-    """Per-output-pixel (s0, s1, a0, a1) with OpenCV border clamping.
+def _lin_coeffs(dlen: int, slen: int, scale: float, horizontal: bool = True):
+    """Per-output-pixel (s0, s1, a0, a1) with OpenCV border handling.
 
     OpenCV narrows the FULL source coordinate to float32 BEFORE the
     floor/frac split (`float fxx = (float)((dx+0.5)*scale_x - 0.5)`); the
     narrowing can push frac*2048 onto an exact .5 where cvRound's
     half-to-even produces coefficient pairs like (1316, 732) — observed on
     the bundled circle image at scale 0.7.
+
+    Border semantics differ per axis (verified against libopencv 4.6 on a
+    randomized battery, tools/golden_gen/probe_build.cpp):
+    * horizontal: the table-building loop in cv::resize() zeroes the
+      fraction at both borders (`fxx = 0, sx = 0` when sx < 0; `fxx = 0,
+      sx = width-1` past the right edge) — coefficient clamping;
+    * vertical: the beta loop applies NO clamping — the fractional
+      coefficient is kept (e.g. (93, 1955) for the first output row at
+      scale 1.1) and resizeGeneric_ clips the source ROW INDICES instead.
     """
     fx = ((np.arange(dlen, dtype=np.float64) + 0.5) * scale
           - 0.5).astype(np.float32)
     sx = np.floor(fx).astype(np.int64)
     fx = (fx - sx).astype(np.float32)
-    fx = np.where(sx < 0, np.float32(0), fx)
-    sx = np.maximum(sx, 0)
-    hit_edge = sx >= slen - 1
-    fx = np.where(hit_edge, np.float32(0), fx)
-    sx = np.where(hit_edge, slen - 1, sx)
+    if horizontal:
+        fx = np.where(sx < 0, np.float32(0), fx)
+        sx = np.maximum(sx, 0)
+        hit_edge = sx >= slen - 1
+        fx = np.where(hit_edge, np.float32(0), fx)
+        sx = np.where(hit_edge, slen - 1, sx)
+        s0 = sx
+        s1 = np.minimum(sx + 1, slen - 1)
+    else:
+        s0 = np.clip(sx, 0, slen - 1)
+        s1 = np.clip(sx + 1, 0, slen - 1)
     # OpenCV: saturate_cast<short>(cbuf[k] * INTER_RESIZE_COEF_SCALE) — the
     # product is evaluated in float32, then cvRound (half-to-even).
     a1 = _round_half_even(
         (fx * np.float32(_COEF_SCALE)).astype(np.float32))
     a0 = _round_half_even(
         ((np.float32(1.0) - fx) * np.float32(_COEF_SCALE)).astype(np.float32))
-    s1 = np.minimum(sx + 1, slen - 1)
-    return sx, s1, a0, a1
+    return s0, s1, a0, a1
 
 
 def _area_fast_2x2(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
@@ -110,8 +128,8 @@ def resize_linear_u8(src: np.ndarray, fx: float = 0.0, fy: float = 0.0,
             and round(scale_x) == 2 and round(scale_y) == 2):
         return _area_fast_2x2(src, dh, dw)
 
-    x0, x1, ax0, ax1 = _lin_coeffs(dw, sw, scale_x)
-    y0, y1, ay0, ay1 = _lin_coeffs(dh, sh, scale_y)
+    x0, x1, ax0, ax1 = _lin_coeffs(dw, sw, scale_x, horizontal=True)
+    y0, y1, ay0, ay1 = _lin_coeffs(dh, sh, scale_y, horizontal=False)
 
     s = src.astype(np.int64)
     if s.ndim == 3:

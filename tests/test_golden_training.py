@@ -80,3 +80,32 @@ def test_case0_training_parity():
     assert len(got) == len(want)
     for tid, (g, w) in enumerate(zip(got, want)):
         assert g == w, f"template {tid} (scale {(tid+1)/10}) differs"
+
+
+def test_jabil_sweep_training_parity():
+    """The jabil creation sweep (test_jabil.cpp:79-104): angles
+    {0,90,180,270} x scales {0.9, 1.0, 1.1}. Scale 1.1 exercises the
+    bit-exact INTER_LINEAR *upscale* path of the producer."""
+    det = Detector(num_features=150, T=(4, 8),
+                   weak_threshold=100.0, strong_threshold=200.0)
+    fid = load_mat("jabil_fid_img.bin")
+    shapes = ShapeInfoProducer(fid)
+    shapes.angle_range = [0.0, 270.0]
+    shapes.angle_step = 90.0
+    shapes.scale_range = [0.9, 1.1]
+    shapes.scale_step = 0.1
+    infos = shapes.produce_infos()
+    assert len(infos) == 12  # scale-major, angle-minor (line2Dup.h:430-441)
+    assert [i.angle for i in infos] == [0.0, 90.0, 180.0, 270.0] * 3
+    assert infos[-1].scale > 1.05  # the sweep reaches the 1.1 upscale
+    for info in infos:
+        tid = det.add_template(shapes.src_of(info), "17",
+                               shapes.mask_of(info), info.scale, info.angle,
+                               3, "fid.png")
+        assert tid >= 0
+
+    want = _golden_as_tuples(load_json("jabil_train_templates.json"))
+    got = _templates_as_tuples(det, "17")
+    assert len(got) == len(want) == 12
+    for tid, (g, w) in enumerate(zip(got, want)):
+        assert g == w, f"template {tid} differs"

@@ -201,6 +201,33 @@ static void run_case0_train() {
     dump_templates_json(det, "circle", "case0_train_templates.json");
 }
 
+// ------------------------------------- jabil-style sweep training flow
+// Mirrors createLinemod2DTemplates (test_jabil.cpp:46-118): producer with
+// angles {0,90,180,270} x scales {0.9, 1.0, 1.1} — the 1.1 upscale is the
+// INTER_LINEAR upscale parity case. A case1 crop stands in for the DB
+// fiducial crop (Persistence submodule absent from the mount).
+static void run_jabil_train() {
+    Detector det(150, {4, 8}, 100.0f, 200.0f);
+    cv::Mat train = cv::imread(g_ref + "case1/train.png");
+    cv::Mat fid = train(cv::Rect(150, 130, 230, 230)).clone();
+    dump_mat_u8(fid, "jabil_fid_img.bin");
+
+    shape_based_matching::shapeInfo_producer fid_shapes(fid, cv::Mat());
+    fid_shapes.angle_range = {0.0, 270.0};
+    fid_shapes.angle_step = 90.0;
+    fid_shapes.scale_range = {0.9f, 1.1f};
+    fid_shapes.scale_step = 0.1f;
+    fid_shapes.produce_infos();
+    for (auto& info : fid_shapes.infos) {
+        int id = det.addTemplate(fid_shapes.src_of(info), "17",
+                                 fid_shapes.mask_of(info), info.scale,
+                                 info.angle, 3, "fid.png");
+        printf("jabil_train angle=%g scale=%g id=%d\n", info.angle,
+               info.scale, id);
+    }
+    dump_templates_json(det, "17", "jabil_train_templates.json");
+}
+
 // ------------------------------------------------ kernel-level goldens
 static void run_kernels() {
     // A 128x128 crop of the padded case1 test image with real edges.
@@ -279,6 +306,7 @@ int main(int argc, char** argv) {
     run_kernels();
     run_case1_train();
     run_case0_train();
+    run_jabil_train();
     run_case0();
     run_case1();
     run_case2();
