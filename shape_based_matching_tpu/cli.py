@@ -81,6 +81,7 @@ def cmd_train(args) -> int:
         scales.append(round(s, 6))
         s += step
 
+    fid_path = os.path.join(args.model_dir, f"{args.class_id}.fid.png")
     infos = []
     for scale in scales:
         for angle in angles:
@@ -89,7 +90,7 @@ def cmd_train(args) -> int:
                    * np.uint8(255))
             tid = det.add_template(src, args.class_id, msk, sscale=scale,
                                    orientation=angle,
-                                   fiducial_src=os.path.basename(args.image))
+                                   fiducial_src=fid_path)
             print(f"angle={angle} scale={scale} -> template_id={tid}")
             if tid != -1:
                 infos.append((angle, scale))
@@ -98,6 +99,13 @@ def cmd_train(args) -> int:
     det.write_classes(os.path.join(args.model_dir, "%s.yaml.gz"))
     det.save_settings(os.path.join(args.model_dir, "detector_linemod.yaml"),
                       templates_dir=os.path.abspath(args.model_dir))
+    # save the fiducial source crop next to the model like the reference
+    # does (test_jabil.cpp:70-76 writes modelFileNameFid before training);
+    # match-time verification re-renders from THIS stored image.
+    from .utils import viz
+
+    fid_path = os.path.join(args.model_dir, f"{args.class_id}.fid.png")
+    viz.save_image(img, fid_path)
     registry_path = os.path.join(args.model_dir, "registry.json")
     registry = {}
     if os.path.exists(registry_path):
@@ -105,6 +113,7 @@ def cmd_train(args) -> int:
             registry = json.load(f)
     registry[args.class_id] = {
         "source_image": os.path.abspath(args.image),
+        "fiducial_image": fid_path,
         "infos": [{"angle": a, "scale": s} for a, s in infos],
     }
     with open(registry_path, "w") as f:
@@ -136,11 +145,32 @@ def load_registry_detector(model_dir: str):
 def cmd_match(args) -> int:
     from .utils.nms import nms_boxes
     from .utils.timer import CSVStat, Timer
-    from .utils.verify import verify_match_ccorr
+    from .utils.verify import bgr2gray_u8, verify_match_fiducial
     from .utils import viz
 
     det = load_registry_detector(args.model_dir)
     stride = det.T_at_level[-1] * (2 ** (det.pyramid_levels - 1))
+
+    # Load the registry and fiducial source images ONCE (the reference
+    # holds them in matchedFiducials across the batch, test_jabil.cpp:126).
+    registry = {}
+    registry_path = os.path.join(args.model_dir, "registry.json")
+    if os.path.exists(registry_path):
+        with open(registry_path) as f:
+            registry = json.load(f)
+    fid_cache: dict[str, np.ndarray] = {}
+
+    def fiducial_of(class_id: str, templ):
+        """Stored fiducial crop for a template, cached per path."""
+        path = getattr(templ, "fiducial_src", "") or ""
+        if path in ("", "none") or not os.path.exists(path):
+            entry = registry.get(class_id, {})
+            path = entry.get("fiducial_image") or entry.get("source_image")
+            if not path or not os.path.exists(path):
+                return None
+        if path not in fid_cache:
+            fid_cache[path] = _load_image(path, gray=True)
+        return fid_cache[path]
 
     paths = sorted(
         p for p in glob.glob(os.path.join(args.test_dir, "*"))
@@ -166,29 +196,18 @@ def cmd_match(args) -> int:
 
         kept = [matches[i] for i in keep]
         if args.verify_ccorr > 0:
+            # the reference's gate (test_jabil.cpp:185-211): stored
+            # fiducial crop -> rotateScaleImage(sscale, orientation) ->
+            # template-rect crop -> minmax-normalize -> CCORR >= thresh
+            gray_scene = img if img.ndim == 2 else bgr2gray_u8(img)
             verified = []
             for m in kept:
                 t0 = det.get_templates(m.class_id, m.template_id)[0]
-                # verify against the matched crop itself rendered from the
-                # training source when available
+                fid = fiducial_of(m.class_id, t0)
                 ok = True
-                reg = os.path.join(args.model_dir, "registry.json")
-                if os.path.exists(reg):
-                    with open(reg) as f:
-                        entry = json.load(f).get(m.class_id)
-                    if entry and os.path.exists(entry["source_image"]):
-                        src = _load_image(entry["source_image"],
-                                          gray=args.gray)
-                        from .utils.verify import rotate_scale_image
-
-                        tp = det.get_templates(m.class_id, m.template_id)[0]
-                        ref = rotate_scale_image(src, tp.sscale or 1.0,
-                                                 tp.orientation)
-                        gray_scene = img if img.ndim == 2 else img.mean(2)
-                        gray_ref = ref if ref.ndim == 2 else ref.mean(2)
-                        ok, score = verify_match_ccorr(
-                            np.asarray(gray_scene), (m.x, m.y),
-                            np.asarray(gray_ref), args.verify_ccorr)
+                if fid is not None:
+                    ok, _score = verify_match_fiducial(
+                        gray_scene, (m.x, m.y), t0, fid, args.verify_ccorr)
                 if ok:
                     verified.append(m)
             kept = verified
@@ -236,6 +255,40 @@ def cmd_match(args) -> int:
     return 0
 
 
+def cmd_preprocess(args) -> int:
+    """Contrast-enhancement preview (test_old.cpp:277-334 test_preprocess):
+    crop to 16n, halve, gray, CLAHE(clip, tiles) or equalizeHist, and save
+    the gray|enhanced side-by-side image (imshow replaced by file output)."""
+    from .utils.cv_resize import resize_linear_u8
+    from .utils.preprocess import clahe, equalize_hist
+    from .utils.timer import Timer
+    from .utils.verify import bgr2gray_u8
+    from .utils import viz
+
+    paths = sorted(
+        p for p in glob.glob(os.path.join(args.test_dir, "*"))
+        if p.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")))
+    if not paths:
+        print(f"no images in {args.test_dir}", file=sys.stderr)
+        return 1
+    os.makedirs(args.out_dir, exist_ok=True)
+    for path in paths:
+        timer = Timer()
+        img = crop_to_stride(_load_image(path), 16)
+        img = resize_linear_u8(img, 0.5, 0.5)
+        gray = bgr2gray_u8(img) if img.ndim == 3 else img
+        if args.mode == "clahe":
+            enhanced = clahe(gray, args.clip, (args.tiles, args.tiles))
+        else:
+            enhanced = equalize_hist(gray)
+        out = np.concatenate([gray, enhanced], axis=1)  # cv::hconcat
+        out_path = os.path.join(args.out_dir,
+                                os.path.basename(path) + ".preproc.png")
+        viz.save_image(out, out_path)
+        timer.out(f"{os.path.basename(path)} ({args.mode})")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="shape_based_matching_tpu",
@@ -271,6 +324,17 @@ def main(argv=None) -> int:
                     help="dump quantized-orientation images")
     ma.add_argument("--gray", action="store_true")
     ma.set_defaults(fn=cmd_match)
+
+    pp = sub.add_parser("preprocess",
+                        help="CLAHE/equalizeHist preview (test_old.cpp)")
+    pp.add_argument("--test-dir", required=True)
+    pp.add_argument("--out-dir", required=True)
+    pp.add_argument("--mode", choices=("clahe", "eqhist"), default="clahe")
+    pp.add_argument("--clip", type=float, default=40.0,
+                    help="CLAHE clip limit (reference uses 40)")
+    pp.add_argument("--tiles", type=int, default=8,
+                    help="CLAHE tile grid (reference uses 8x8)")
+    pp.set_defaults(fn=cmd_preprocess)
 
     args = ap.parse_args(argv)
     return args.fn(args)

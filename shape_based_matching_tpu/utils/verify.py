@@ -110,6 +110,67 @@ def verify_match_ccorr(scene: np.ndarray, match_xy, templ_img: np.ndarray,
     return score >= threshold, score
 
 
+def normalize_minmax_u8(img: np.ndarray) -> np.ndarray:
+    """cv::normalize(img, dst, 0, 255, NORM_MINMAX, CV_8U)."""
+    a = np.asarray(img, np.float64)
+    mn = a.min()
+    mx = a.max()
+    if mx <= mn:
+        return np.zeros(a.shape, np.uint8)
+    scale = 255.0 / (mx - mn)
+    return np.clip(np.rint((a - mn) * scale), 0, 255).astype(np.uint8)
+
+
+def verify_match_fiducial(scene_gray: np.ndarray, match_xy, templ,
+                          fid_img: np.ndarray,
+                          threshold: float = 0.8) -> tuple[bool, float]:
+    """The reference's fiducial verification gate (test_jabil.cpp:185-211):
+    rotate/scale the STORED fiducial source by the template's metadata,
+    crop the template rect (tl_x, tl_y, width, height), min-max normalize
+    both crops to u8, and require TM_CCORR_NORMED >= threshold."""
+    ref = np.asarray(fid_img)
+    if ref.ndim == 3:  # reference loads IMREAD_GRAYSCALE
+        ref = bgr2gray_u8(ref)
+    sscale = getattr(templ, "sscale", 1.0) or 1.0
+    orientation = getattr(templ, "orientation", 0.0)
+    if sscale > 0 or orientation >= 0:
+        ref = rotate_scale_image(ref, sscale if sscale > 0 else 1.0,
+                                 orientation if orientation >= 0 else 0.0)
+    rh, rw = ref.shape[:2]
+    if (templ.tl_x < 0 or templ.tl_y < 0
+            or templ.tl_x + templ.width > rw
+            or templ.tl_y + templ.height > rh):
+        return False, 0.0
+    ref_crop = ref[templ.tl_y:templ.tl_y + templ.height,
+                   templ.tl_x:templ.tl_x + templ.width]
+
+    x, y = match_xy
+    h, w = scene_gray.shape[:2]
+    if x < 0 or y < 0 or x + templ.width > w or y + templ.height > h:
+        return False, 0.0
+    crop = np.asarray(scene_gray)[y:y + templ.height, x:x + templ.width]
+    if crop.ndim == 3:
+        crop = bgr2gray_u8(crop)
+
+    im1 = normalize_minmax_u8(crop)
+    im2 = normalize_minmax_u8(ref_crop)
+    score = float(match_template_ccorr_normed(jnp.asarray(im1),
+                                              jnp.asarray(im2))[0, 0])
+    return score >= threshold, score
+
+
+def bgr2gray_u8(img: np.ndarray) -> np.ndarray:
+    """cv::cvtColor BGR2GRAY, bit-exact to libopencv 4.6:
+    (B*3735 + G*19235 + R*9798 + 16384) >> 15 (yuv_shift=15 constants;
+    verified on a 160k-sample lattice+random battery,
+    tools/golden_gen/probe_gray2.cpp)."""
+    b = img[..., 0].astype(np.int64)
+    g = img[..., 1].astype(np.int64)
+    r = img[..., 2].astype(np.int64)
+    return ((b * 3735 + g * 19235 + r * 9798 + (1 << 14)) >> 15).astype(
+        np.uint8)
+
+
 def calc_histogram(img: np.ndarray, hist_size: int = 256) -> np.ndarray:
     """Normalized gray-level histogram (utils.cpp:403-421)."""
     h = np.bincount(np.asarray(img, np.uint8).ravel(), minlength=hist_size)
