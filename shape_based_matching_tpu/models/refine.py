@@ -1,10 +1,18 @@
-"""Subpixel / ICP pose refinement (sim2: scale + rotation + translation).
+"""Subpixel / ICP pose refinement (similarity and affine models).
 
 The reference README advertises icp2D / subpixel / sim3 refinement branches
-(README.md:8-10) that are absent from the mounted tree. This module provides
-the capability TPU-natively: an iterative closest-edge-point refinement that
-upgrades a discrete LINE-2D match (pixel-grid position, enumerated angle)
-to a continuous pose.
+(README.md:8-10) that are absent from the mounted tree; upstream's "sim3"
+branch is the 2D similarity group with scale ("deal with scale error" —
+their earlier branch was rotation-only). This module provides the
+capability TPU-natively and goes one model further:
+
+* model="sim2" (default): scale + rotation + translation (4 DOF) — the
+  upstream sim3 branch's capability;
+* model="affine": full 2D affine (6 DOF) — adds shear/aspect, for
+  out-of-plane-tilted or anamorphic parts.
+
+An iterative closest-edge-point refinement upgrades a discrete LINE-2D
+match (pixel-grid position, enumerated angle) to a continuous pose.
 
 Algorithm (all candidates refined in one batched jit):
   1. Place the template's edge features at the match hypothesis.
@@ -41,6 +49,7 @@ class RefinedPose(NamedTuple):
     scale: jnp.ndarray      # [C] residual scale factor
     residual: jnp.ndarray   # [C] mean feature->edge distance (px)
     valid: jnp.ndarray      # [C] bool
+    affine: jnp.ndarray     # [C, 2, 2] linear part (sim2: rot*scale matrix)
 
 
 def _angle_diff_deg(a, b):
@@ -49,13 +58,14 @@ def _angle_diff_deg(a, b):
     return jnp.minimum(d, 180.0 - d)
 
 
-@partial(jax.jit, static_argnames=("radius", "iterations"))
+@partial(jax.jit, static_argnames=("radius", "iterations", "model"))
 def refine_matches(magnitude: jnp.ndarray, angle_deg: jnp.ndarray,
                    fx: jnp.ndarray, fy: jnp.ndarray, ftheta: jnp.ndarray,
                    fvalid: jnp.ndarray, mx: jnp.ndarray, my: jnp.ndarray,
                    mvalid: jnp.ndarray, mag_threshold,
-                   radius: int = 3, iterations: int = 5) -> RefinedPose:
-    """Batched point-to-plane ICP (Gauss-Newton over sim2).
+                   radius: int = 3, iterations: int = 5,
+                   model: str = "sim2") -> RefinedPose:
+    """Batched point-to-plane ICP (Gauss-Newton over sim2 or affine).
 
     Point-to-point ICP on dense edges is tangentially ambiguous (every
     feature's nearest edge pixel is usually its own rounded position), so
@@ -126,53 +136,105 @@ def refine_matches(magnitude: jnp.ndarray, angle_deg: jnp.ndarray,
 
     fxf = fx.astype(jnp.float32)
     fyf = fy.astype(jnp.float32)
-    theta = jnp.zeros((C,), jnp.float32)
-    scale = jnp.ones((C,), jnp.float32)
     tx = mx.astype(jnp.float32)
     ty = my.astype(jnp.float32)
     resid = jnp.zeros((C,), jnp.float32)
     nfound = jnp.zeros((C,), jnp.float32)
 
-    for _ in range(iterations):
+    if model == "sim2":
+        theta = jnp.zeros((C,), jnp.float32)
+        scale = jnp.ones((C,), jnp.float32)
+        for _ in range(iterations):
+            ar = scale * jnp.cos(theta)
+            ai = scale * jnp.sin(theta)
+            vx = ar[:, None] * fxf - ai[:, None] * fyf
+            vy = ai[:, None] * fxf + ar[:, None] * fyf
+            px = vx + tx[:, None]
+            py = vy + ty[:, None]
+            t_found, nx, ny, found = correspondences(px, py, theta)
+            wgt = (found & fvalid).astype(jnp.float32)
+            nfound = jnp.sum(wgt, axis=1)
+
+            # point-to-plane residual, Jacobian rows [tx, ty, dtheta, ds]
+            # r = (p - q)·n where q = p + t_found·n  =>  r = -t_found
+            r = -t_found
+            j_t = (-vy) * nx + vx * ny                       # d/dtheta
+            j_s = (vx * nx + vy * ny) / scale[:, None]       # d/dscale
+            J = jnp.stack([nx, ny, j_t, j_s], axis=-1)       # [C, N, 4]
+            Wj = J * wgt[..., None]
+            A = jnp.einsum("cni,cnj->cij", Wj, J)
+            A = A + jnp.eye(4, dtype=jnp.float32)[None] * 1e-3
+            b = -jnp.einsum("cni,cn->ci", Wj, r)
+            delta = jnp.linalg.solve(A, b[..., None])[..., 0]  # [C, 4]
+            tx = tx + delta[:, 0]
+            ty = ty + delta[:, 1]
+            theta = theta + delta[:, 2]
+            scale = jnp.clip(scale + delta[:, 3], 0.5, 2.0)
+            resid = (jnp.sum(wgt * jnp.abs(r), axis=1)
+                     / jnp.maximum(nfound, 1.0))
         ar = scale * jnp.cos(theta)
         ai = scale * jnp.sin(theta)
-        vx = ar[:, None] * fxf - ai[:, None] * fyf
-        vy = ai[:, None] * fxf + ar[:, None] * fyf
-        px = vx + tx[:, None]
-        py = vy + ty[:, None]
-        t_found, nx, ny, found = correspondences(px, py, theta)
-        wgt = (found & fvalid).astype(jnp.float32)
-        nfound = jnp.sum(wgt, axis=1)
+        lin = jnp.stack(
+            [jnp.stack([ar, -ai], -1), jnp.stack([ai, ar], -1)], -2)
+        angle_out = jnp.degrees(theta)
+        scale_out = scale
+    elif model == "affine":
+        # full 2D affine (the upstream sim3 branch handles scale; this
+        # additionally absorbs shear/aspect from out-of-plane tilt).
+        # p = (a*fx + b*fy + tx, c*fx + d*fy + ty)
+        a = jnp.ones((C,), jnp.float32)
+        bb = jnp.zeros((C,), jnp.float32)
+        c = jnp.zeros((C,), jnp.float32)
+        d = jnp.ones((C,), jnp.float32)
+        for _ in range(iterations):
+            vx = a[:, None] * fxf + bb[:, None] * fyf
+            vy = c[:, None] * fxf + d[:, None] * fyf
+            px = vx + tx[:, None]
+            py = vy + ty[:, None]
+            theta_cur = jnp.arctan2(c, a)  # rotation estimate for normals
+            t_found, nx, ny, found = correspondences(px, py, theta_cur)
+            wgt = (found & fvalid).astype(jnp.float32)
+            nfound = jnp.sum(wgt, axis=1)
 
-        # point-to-plane residual and Jacobian rows [tx, ty, dtheta, dscale]
-        # r = (p - q)·n where q = p + t_found·n  =>  r = -t_found
-        r = -t_found
-        j_t = (-vy) * nx + vx * ny                       # d/dtheta
-        j_s = (vx * nx + vy * ny) / scale[:, None]       # d/dscale
-        J = jnp.stack([nx, ny, j_t, j_s], axis=-1)       # [C, N, 4]
-        Wj = J * wgt[..., None]
-        A = jnp.einsum("cni,cnj->cij", Wj, J)
-        A = A + jnp.eye(4, dtype=jnp.float32)[None] * 1e-3
-        b = -jnp.einsum("cni,cn->ci", Wj, r)
-        delta = jnp.linalg.solve(A, b[..., None])[..., 0]  # [C, 4]
-        tx = tx + delta[:, 0]
-        ty = ty + delta[:, 1]
-        theta = theta + delta[:, 2]
-        scale = jnp.clip(scale + delta[:, 3], 0.5, 2.0)
-        resid = (jnp.sum(wgt * jnp.abs(r), axis=1)
-                 / jnp.maximum(nfound, 1.0))
+            r = -t_found
+            # params [tx, ty, a, b, c, d]; dr/dparam = n·dp/dparam
+            J = jnp.stack([nx, ny, fxf * nx, fyf * nx,
+                           fxf * ny, fyf * ny], axis=-1)  # [C, N, 6]
+            Wj = J * wgt[..., None]
+            A = jnp.einsum("cni,cnj->cij", Wj, J)
+            A = A + jnp.eye(6, dtype=jnp.float32)[None] * 1e-3
+            bvec = -jnp.einsum("cni,cn->ci", Wj, r)
+            delta = jnp.linalg.solve(A, bvec[..., None])[..., 0]
+            tx = tx + delta[:, 0]
+            ty = ty + delta[:, 1]
+            a = a + delta[:, 2]
+            bb = bb + delta[:, 3]
+            c = c + delta[:, 4]
+            d = d + delta[:, 5]
+            resid = (jnp.sum(wgt * jnp.abs(r), axis=1)
+                     / jnp.maximum(nfound, 1.0))
+        lin = jnp.stack(
+            [jnp.stack([a, bb], -1), jnp.stack([c, d], -1)], -2)
+        angle_out = jnp.degrees(jnp.arctan2(c, a))
+        det = a * d - bb * c
+        scale_out = jnp.sqrt(jnp.abs(det))
+    else:
+        raise ValueError(f"unknown refine model: {model!r}")
 
     ok = mvalid & (nfound >= jnp.maximum(3.0, 0.3 * jnp.sum(
         fvalid.astype(jnp.float32), axis=1)))
-    return RefinedPose(tx, ty, jnp.degrees(theta), scale, resid, ok)
+    return RefinedPose(tx, ty, angle_out, scale_out, resid, ok, lin)
 
 
 def refine_detections(detector, image: np.ndarray, matches,
-                      radius: int = 3, iterations: int = 3):
+                      radius: int = 3, iterations: int = 3,
+                      model: str = "sim2"):
     """Host-facing wrapper: refine a Detector.match() result list.
 
-    Returns a list of dicts ({x, y, angle_delta, scale, residual, match})
-    for matches that refined successfully.
+    `model`: "sim2" (scale+rotation+translation — the upstream sim3
+    branch's capability) or "affine" (adds shear/aspect).
+    Returns a list of dicts ({x, y, angle_delta, scale, residual, affine,
+    match}) for matches that refined successfully.
     """
     if not matches:
         return []
@@ -200,7 +262,7 @@ def refine_detections(detector, image: np.ndarray, matches,
         jnp.asarray(fx), jnp.asarray(fy), jnp.asarray(th), jnp.asarray(fv),
         jnp.asarray(mx), jnp.asarray(my), jnp.ones((C,), bool),
         jnp.float32(detector.weak_threshold) ** 2,
-        radius=radius, iterations=iterations)
+        radius=radius, iterations=iterations, model=model)
 
     out = []
     for i, m in enumerate(matches):
@@ -212,5 +274,6 @@ def refine_detections(detector, image: np.ndarray, matches,
                 "angle_delta": float(pose.angle_delta[i]),
                 "scale": float(pose.scale[i]),
                 "residual": float(pose.residual[i]),
+                "affine": np.asarray(pose.affine[i]),
             })
     return out

@@ -92,3 +92,40 @@ def test_refine_exact_position(trained):
     assert abs(r["angle_delta"]) < 0.5
     assert abs(r["scale"] - 1.0) < 0.02
     assert r["residual"] < 0.8
+
+
+def _shear_float(img, shear_x):
+    """x' = x + shear_x * y bilinear warp (test-side only)."""
+    h, w = img.shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    sx = (xx - cx) - shear_x * (yy - cy) + cx
+    sy = yy
+    x0 = np.clip(np.floor(sx).astype(int), 0, w - 2)
+    y0 = np.clip(np.floor(sy).astype(int), 0, h - 2)
+    fx = np.clip(sx - x0, 0, 1)
+    fy = np.clip(sy - y0, 0, 1)
+    v = ((1 - fy) * ((1 - fx) * img[y0, x0] + fx * img[y0, x0 + 1])
+         + fy * ((1 - fx) * img[y0 + 1, x0] + fx * img[y0 + 1, x0 + 1]))
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def test_refine_affine_recovers_shear(trained):
+    det, templ = trained
+    sheared = _shear_float(templ, 0.04)  # 4% x-shear
+    scene = np.zeros((256, 256), np.uint8)
+    _paste(scene, sheared, 60, 70)
+    matches = det.match(scene, 60.0)
+    assert matches
+    refined = refine_detections(det, scene, matches[:1], model="affine",
+                                iterations=5)
+    assert refined
+    r = refined[0]
+    A = r["affine"]
+    # recovered b (x-from-y coupling) should track the injected shear
+    assert abs(A[0, 1] - 0.04) < 0.02, A
+    assert abs(A[0, 0] - 1.0) < 0.03 and abs(A[1, 1] - 1.0) < 0.03, A
+    assert r["residual"] < 1.5
+    # sim2 cannot represent shear: its residual should be no better
+    base = refine_detections(det, scene, matches[:1], iterations=5)
+    assert base and r["residual"] <= base[0]["residual"] + 0.05
