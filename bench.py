@@ -34,13 +34,38 @@ def _measure(num_templates: int, iters: int = 30) -> float:
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def _measure_throughput(num_templates: int = 360, batch: int = 8,
+                        iters: int = 10) -> float:
+    """Streaming throughput (frames/s): Detector.match_batch on B frames
+    per launch, packed output (no per-frame host syncs or Match objects)."""
+    import numpy as np
+
+    from shape_based_matching_tpu.utils.synthetic import (
+        build_rotated_detector, synthetic_scene)
+
+    det, templ_img = build_rotated_detector(num_templates=num_templates,
+                                            num_features=63)
+    frames = np.stack([
+        synthetic_scene(1024, 1024, templ_img, n_instances=4, seed=s)
+        for s in range(batch)
+    ])
+    det.match_batch(frames, 85.0, as_matches=False)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        det.match_batch(frames, 85.0, as_matches=False)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
 def main():
     ms_360 = _measure(360)
     ms_1000 = _measure(1000)
+    fps_b8 = _measure_throughput(360, 8)
 
     detail = {
         "match_1024x1024_1000templates_e2e_ms": round(ms_1000, 3),
         "match_1024x1024_360templates_e2e_ms": round(ms_360, 3),
+        "throughput_1024x1024_360templates_b8_fps": round(fps_b8, 1),
         "vs_baseline_1000": round(BASELINE_1000_MS / ms_1000, 2),
         "vs_baseline_360": round(BASELINE_360_MS / ms_360, 2),
         "north_star_under_5ms": ms_1000 < 5.0,

@@ -24,12 +24,14 @@ import numpy as np
 from ..ops.gradients import (quantized_orientations_color,
                              quantized_orientations_gray)
 from ..ops.filters import pyr_down_u8, resize_nearest
-from ..ops.response import build_bound_memories, build_linear_memories
+from ..ops.response import (BOUND_STRIDE, build_bound_memories,
+                            build_linear_memories)
 from ..ops.similarity import (LevelBank, bound_scores,
                               coarse_similarity_dispatch, compact_survivors,
                               distinct_templates, extract_candidates,
                               gather_bank, pack_level_bank,
-                              refine_candidates, refine_from_maps)
+                              refine_candidates, refine_from_maps,
+                              use_pallas_default)
 from ..utils.yaml_io import (class_file_path, dump_opencv_yaml,
                              load_opencv_yaml)
 from . import training
@@ -61,14 +63,37 @@ class Match:
 _CAND_BUCKETS = (256, 1024, 4096, 16384, 65536)
 
 
-@partial(jax.jit,
-         static_argnames=("gray", "has_mask", "T", "levels", "n_ori",
-                          "patch_2843"))
-def _build_lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
-                      levels: int, weak_threshold, n_ori: int = 8,
-                      patch_2843: bool = False):
+def _sort_dedup(matches: list) -> list:
+    """sort + dedup (line2Dup.cpp:1143-1145). Deliberate divergence from
+    the reference: its operator== ignores template_id, so std::unique
+    after an UNSTABLE sort removes a nondeterministic subset of
+    same-position detections from *different* templates (verified on
+    case2: the reference drops tid 89 but keeps 90/94 at one position,
+    purely by libstdc++ partition order). Different templates are
+    different angle/scale hypotheses — we keep them all and collapse
+    only true duplicates (same template converging from several coarse
+    candidates). Result: a deterministic superset of the reference's
+    match list; downstream NMS resolves same-position hypotheses."""
+    matches.sort(key=lambda m: (-m.similarity, m.template_id, m.x, m.y,
+                                m.class_id))
+    out = []
+    seen = set()
+    for m in matches:
+        key = (m.x, m.y, m.similarity, m.class_id, m.template_id)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(m)
+    return out
+
+
+def _lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
+                levels: int, weak_threshold, n_ori: int = 8,
+                patch_2843: bool = False, with_bound: bool = True):
     """Device pyramid: per level quantize -> spread -> responses -> linear
-    memories (match() preamble, line2Dup.cpp:1084-1120)."""
+    memories (match() preamble, line2Dup.cpp:1084-1120). Plain traceable
+    function; `with_bound` additionally builds the branch-and-bound
+    prefilter memories at the coarsest level."""
     lmflats = []
     src = source
     msk = mask
@@ -90,8 +115,9 @@ def _build_lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
         m = lm.shape[-1]
         flat = jnp.concatenate([lm.reshape(-1),
                                 jnp.zeros((m,), jnp.uint8)])
-        if l == levels - 1 and src.shape[0] % (2 * T[l]) == 0 \
-                and src.shape[1] % (2 * T[l]) == 0:
+        if with_bound and l == levels - 1 \
+                and src.shape[0] % (BOUND_STRIDE * T[l]) == 0 \
+                and src.shape[1] % (BOUND_STRIDE * T[l]) == 0:
             # branch-and-bound prefilter memories for the coarsest level
             lmb = build_bound_memories(quantized, T[l], n_ori)
             mb = lmb.shape[-1]
@@ -101,6 +127,75 @@ def _build_lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
         else:
             lmflats.append((lm, flat, None))
     return tuple(lmflats)
+
+
+_build_lm_pyramid = partial(jax.jit,
+                            static_argnames=("gray", "has_mask", "T",
+                                             "levels", "n_ori",
+                                             "patch_2843",
+                                             "with_bound"))(_lm_pyramid)
+
+
+@partial(jax.jit, static_argnames=("gray", "has_mask", "T", "levels",
+                                   "n_ori", "patch_2843"))
+def _batch_pyramid(sources, masks, gray: bool, has_mask: bool, T: tuple,
+                   levels: int, weak_threshold, n_ori: int = 8,
+                   patch_2843: bool = False):
+    """Frame-batched lm pyramid: one program for B frames (no bound maps)."""
+    fn = lambda s, m: _lm_pyramid(s, m, gray, has_mask, T, levels,
+                                  weak_threshold, n_ori, patch_2843,
+                                  with_bound=False)
+    return jax.vmap(fn, in_axes=(0, 0 if has_mask else None))(sources, masks)
+
+
+@partial(jax.jit, static_argnames=("T", "levels", "use_pallas", "sizes",
+                                   "cand_cap", "d_cap", "pathological"))
+def _match_batch_class(lms, banks, threshold, T: tuple, levels: int,
+                       use_pallas: bool, sizes: tuple, cand_cap: int,
+                       d_cap: int, pathological: tuple):
+    """Device-complete batched matchClass: coarse scoring -> candidate
+    compaction -> pyramid refinement for B frames in ONE program — the
+    streaming/batch replacement for the per-frame host-sync escalation
+    loops of Detector._match_class (the reference processes frames one at
+    a time, test_jabil.cpp:341-360).
+
+    Static caps replace the escalation: `cand_cap` coarse candidates and
+    `d_cap` distinct refine templates per frame. Per-frame overflow flags
+    are returned; the caller re-runs flagged frames through the exact
+    escalating path so parity is never lost.
+    """
+    K = int(banks[-1].fx.shape[0])
+    t_last = T[-1]
+    size_last = sizes[-1]
+    w_last = size_last[0] // t_last
+
+    def per_frame(lm_tuple):
+        lm_last, lmflat_last = lm_tuple[-1][0], lm_tuple[-1][1]
+        S, _ = coarse_similarity_dispatch(lm_last, lmflat_last, banks[-1],
+                                          t_last, size_last, use_pallas)
+        k, x, y, sc, valid, n_above = extract_candidates(
+            S, banks[-1].nfeat, threshold, t_last, w_last, cand_cap)
+        overflow = n_above > cand_cap
+        for l in range(levels - 2, -1, -1):
+            lm_l, lmflat_l = lm_tuple[l][0], lm_tuple[l][1]
+            if pathological[l]:
+                k, x, y, sc, valid = refine_candidates(
+                    lmflat_l, banks[l], T[l], sizes[l], k, x, y, valid,
+                    threshold)
+            else:
+                slots, slot_of_k, n_distinct = distinct_templates(
+                    k, valid, K, d_cap)
+                overflow |= n_distinct > d_cap
+                sub = gather_bank(banks[l], slots)
+                Sfull, _ = coarse_similarity_dispatch(
+                    lm_l, lmflat_l, sub, T[l], sizes[l], use_pallas,
+                    mask_positions=False)
+                k, x, y, sc, valid = refine_from_maps(
+                    Sfull, slot_of_k, banks[l], T[l], sizes[l],
+                    k, x, y, valid, threshold)
+        return k, x, y, sc, valid, overflow
+
+    return jax.vmap(per_frame)(lms)
 
 
 _instance: "Detector | None" = None
@@ -287,27 +382,92 @@ class Detector:
                 self._match_class(lmflats, sizes, float(threshold), class_id,
                                   max_candidates))
 
-        # sort + dedup (line2Dup.cpp:1143-1145). Deliberate divergence from
-        # the reference: its operator== ignores template_id, so std::unique
-        # after an UNSTABLE sort removes a nondeterministic subset of
-        # same-position detections from *different* templates (verified on
-        # case2: the reference drops tid 89 but keeps 90/94 at one position,
-        # purely by libstdc++ partition order). Different templates are
-        # different angle/scale hypotheses — we keep them all and collapse
-        # only true duplicates (same template converging from several coarse
-        # candidates). Result: a deterministic superset of the reference's
-        # match list; downstream NMS resolves same-position hypotheses.
-        matches.sort(key=lambda m: (-m.similarity, m.template_id, m.x, m.y,
-                                    m.class_id))
-        out: list[Match] = []
-        seen = set()
-        for m in matches:
-            key = (m.x, m.y, m.similarity, m.class_id, m.template_id)
-            if key in seen:
-                continue
-            seen.add(key)
-            out.append(m)
+        return _sort_dedup(matches)
+
+    def match_batch(self, sources, threshold: float, class_ids=None,
+                    masks=None, cand_cap: int = 1024,
+                    distinct_cap: int = 256, as_matches: bool = True):
+        """Batched streaming match: B same-shaped frames in one device
+        program per class, with NO per-frame host syncs (the escalation
+        loops of match() are replaced by static caps + per-frame overflow
+        flags; overflowing frames — rare — are re-run through the exact
+        match() path, so results are identical to [match(f) for f in
+        sources]).
+
+        `sources`: uint8 [B, H, W] or [B, H, W, 3]; `masks`: optional
+        [B, H, W]. Returns a list of B match lists (`as_matches=True`) or
+        a dict of packed per-class arrays {class_id: (k, x, y, score,
+        valid)} each [B, cand_cap] plus 'overflow' [B] (`as_matches=False`
+        — no host transfer of Match objects, for throughput pipelines).
+        """
+        sources = np.asarray(sources)
+        if sources.ndim not in (3, 4):
+            raise ValueError("match_batch expects [B, H, W] or [B, H, W, 3]")
+        self._validate_size(sources.shape[1:3])
+        gray = sources.ndim == 3
+        has_mask = masks is not None
+        mask_arr = (jnp.asarray(np.asarray(masks)) if has_mask
+                    else jnp.zeros((1, 1), jnp.uint8))
+        use_pallas = (self.use_pallas if self.use_pallas is not None
+                      else use_pallas_default())
+        sizes = tuple(self._level_sizes(sources.shape[1:3]))
+
+        lms = _batch_pyramid(jnp.asarray(sources), mask_arr, gray, has_mask,
+                             self.T_at_level, self.pyramid_levels,
+                             jnp.float32(self.weak_threshold),
+                             self.num_orientations, self.patch_2843)
+
+        if class_ids is None or not class_ids:
+            class_ids = list(self.class_templates.keys())
+        class_ids = [c for c in class_ids if c in self.class_templates]
+
+        B = sources.shape[0]
+        packed = {}
+        for class_id in class_ids:
+            banks = self._get_banks(class_id)
+            K = int(banks[-1].fx.shape[0])
+            pathological = tuple(
+                self._is_pathological(banks[l], sizes[l],
+                                      self.T_at_level[l])
+                for l in range(self.pyramid_levels - 1)
+            )
+            k, x, y, sc, valid, overflow = _match_batch_class(
+                lms, tuple(banks), jnp.float32(threshold),
+                self.T_at_level, self.pyramid_levels, use_pallas, sizes,
+                int(cand_cap), min(int(distinct_cap), K), pathological)
+            packed[class_id] = (np.asarray(k), np.asarray(x), np.asarray(y),
+                                np.asarray(sc), np.asarray(valid),
+                                np.asarray(overflow))
+
+        if not as_matches:
+            return packed
+
+        out: list[list[Match]] = []
+        for b in range(B):
+            frame_matches: list[Match] = []
+            for class_id in class_ids:
+                k, x, y, sc, valid, overflow = packed[class_id]
+                if overflow[b]:
+                    # rare: exceed static caps -> exact escalating path
+                    frame_matches.extend(
+                        self.match(sources[b], threshold, [class_id],
+                                   masks[b] if has_mask else None))
+                    continue
+                for i in np.nonzero(valid[b])[0]:
+                    frame_matches.append(
+                        Match(int(x[b, i]), int(y[b, i]), float(sc[b, i]),
+                              class_id, int(k[b, i])))
+            out.append(_sort_dedup(frame_matches))
         return out
+
+    @staticmethod
+    def _is_pathological(bank, size_wh, T) -> bool:
+        w_img, h_img = size_wh
+        border = 16 * T
+        widths = np.asarray(bank.width)
+        heights = np.asarray(bank.height)
+        return bool(((w_img - widths) < border).any()
+                    or ((h_img - heights) < border).any())
 
     def _match_class(self, lmflats, sizes, threshold, class_id,
                      max_candidates) -> list[Match]:
@@ -391,12 +551,7 @@ class Detector:
         wider than image - 16T, where the C++ starts dropping features)."""
         lm, lmflat = lmflat_pair
         w_img, h_img = size_wh
-        border = 16 * T
-        widths = np.asarray(bank.width)
-        heights = np.asarray(bank.height)
-        pathological = bool(((w_img - widths) < border).any()
-                            or ((h_img - heights) < border).any())
-        if pathological:
+        if self._is_pathological(bank, size_wh, T):
             return refine_candidates(lmflat, bank, T, size_wh, k, x, y,
                                      valid, jnp.float32(threshold))
 

@@ -44,15 +44,18 @@ from ..similarity import LevelBank
 
 
 def _coarse_kernel(meta_ref, lm_ref, out_ref):
-    """meta_ref: SMEM [1, 2, N] (plane, flat shift s; plane==C if invalid);
-    lm_ref: VMEM [C+1, M/128, 128] u8 (planes in row-major flat layout,
-    last plane zeros); out_ref: VMEM [1, M/128, 128] i32.
+    """meta_ref: SMEM [1, 2, N+1] (plane, flat shift s; plane==C if
+    invalid). Slot [0, 0, N] carries the template's LIVE feature count —
+    the loop runs only that far, so padded bank slots (count 0, e.g.
+    gather_bank fill rows in capped distinct-template refinement) cost no
+    rotates at all. lm_ref: VMEM [C+1, M/128, 128] u8 (planes in row-major
+    flat layout, last plane zeros); out_ref: VMEM [1, M/128, 128] i32.
 
     A feature contributes plane<<s (flat left-shift by s): rotate rows up by
     s//128 (s//128+1 for the carry part), lanes left by s%128, and select on
     a lane iota. Lane dim is exactly 128 so dynamic rotates are legal.
     """
-    n_feats = meta_ref.shape[2]
+    n_feats = meta_ref[0, 0, meta_ref.shape[2] - 1]
     rows = lm_ref.shape[1]
     lanes = lm_ref.shape[2]
 
@@ -137,7 +140,13 @@ def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
     plane = bank.label * (T * T) + (bank.fy % T) * T + (bank.fx % T)
     plane = jnp.where(inb, plane, C)
     shift = jnp.where(inb, (bank.fy // T) * W + bank.fx // T, 0)
-    meta = jnp.stack([plane, shift], axis=1).astype(jnp.int32)  # [K, 2, N]
+    # live feature count: pack_level_bank's valid flags are a prefix, so
+    # looping n < nfeat covers every live slot; appended as meta's last
+    # column (TPU SMEM blocks want the trailing dims whole).
+    nf = jnp.where(bank.valid.any(axis=1), bank.nfeat, 0).astype(jnp.int32)
+    plane = jnp.concatenate([plane, nf[:, None]], axis=1)
+    shift = jnp.concatenate([shift, jnp.zeros_like(nf)[:, None]], axis=1)
+    meta = jnp.stack([plane, shift], axis=1).astype(jnp.int32)  # [K,2,N+1]
 
     K, _, N = meta.shape
     S = pl.pallas_call(
@@ -152,6 +161,11 @@ def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
         out_specs=pl.BlockSpec((1, rows, 128), lambda k: (k, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K, rows, 128), jnp.int32),
+        # Under vmap (frame-batched match) the LM block index varies with
+        # the prepended batch grid dim, so Pallas double-buffers the LM
+        # block; at T=4 that is 2 x 8.6 MB and busts the default 16 MB
+        # scoped-vmem limit. v5e/v6 have 128 MB VMEM — allow 64 MB.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(meta, lm3)
 

@@ -166,17 +166,18 @@ def bound_scores(lm_bound: jnp.ndarray, lmflat_bound: jnp.ndarray,
     """Branch-and-bound prefilter: per-template upper bound on the coarse
     max score.
 
-    `lm_bound` holds responses of a spread-(3T) image sampled on a 2T grid
-    (built by response.build_bound_memories). For every feature and every
-    coarse cell (r8, c8), the 3T window anchored at the containing 2T cell
-    covers the T window at the true pixel, and response = max over present
-    orientations is monotone in the bit set — so the 2T-grid score dominates
-    both T-grid scores it covers. Templates whose bound never exceeds the
-    match threshold provably produce no candidates and are pruned before
-    full coarse scoring (exact: surviving scores are unchanged).
+    `lm_bound` holds responses of a spread-((S+1)T) image sampled on an
+    S*T grid, S = response.BOUND_STRIDE (see build_bound_memories for the
+    soundness argument: each decimated lookup's window covers all S
+    T-windows it stands for, and the LUT response is monotone in the
+    orientation bit set). Templates whose bound never exceeds the match
+    threshold provably produce no candidates and are pruned before full
+    coarse scoring (exact: surviving scores are unchanged).
     """
-    B, _ = coarse_similarity_dispatch(lm_bound, lmflat_bound, bank, 2 * T,
-                                      size_wh, use_pallas,
+    from .response import BOUND_STRIDE
+
+    B, _ = coarse_similarity_dispatch(lm_bound, lmflat_bound, bank,
+                                      BOUND_STRIDE * T, size_wh, use_pallas,
                                       mask_positions=False)
     return jnp.max(B, axis=1)  # [K] raw upper bound
 

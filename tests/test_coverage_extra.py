@@ -103,9 +103,9 @@ def test_rotate_scale_geometry_consistency():
 
 
 def test_bound_scores_dominate(rng):
-    """Branch-and-bound prefilter soundness: the 2T-grid bound must dominate
-    the true per-template max coarse score (any violation could prune a real
-    match)."""
+    """Branch-and-bound prefilter soundness: the decimated-grid bound must
+    dominate the true per-template max coarse score (any violation could
+    prune a real match)."""
     import jax.numpy as jnp
 
     from shape_based_matching_tpu.ops.response import (build_bound_memories,

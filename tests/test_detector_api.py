@@ -81,3 +81,59 @@ def test_get_instance_singleton(tmp_path):
     assert inst.num_templates("bench") == 2
     assert sbm.get_instance() is inst  # singleton
     sbm.reset_instance()
+
+
+def _match_key_list(matches):
+    return [(m.class_id, m.template_id, m.x, m.y, round(m.similarity, 4))
+            for m in matches]
+
+
+def test_match_batch_equals_per_frame_match():
+    det, templ_img = build_rotated_detector(num_templates=6,
+                                            num_features=48, size=128)
+    frames = np.stack([
+        synthetic_scene(256, 256, templ_img, n_instances=1, seed=s)
+        for s in (3, 4, 5, 7)
+    ])
+    want = [det.match(f, 80.0) for f in frames]
+    got = det.match_batch(frames, 80.0)
+    assert len(got) == len(want)
+    for b, (g, w) in enumerate(zip(got, want)):
+        assert _match_key_list(g) == _match_key_list(w), f"frame {b}"
+
+
+def test_match_batch_overflow_falls_back_exactly():
+    det, templ_img = build_rotated_detector(num_templates=6,
+                                            num_features=48, size=128)
+    frames = np.stack([
+        synthetic_scene(256, 256, templ_img, n_instances=2, seed=s)
+        for s in (3, 11)
+    ])
+    # threshold low enough that >2 coarse candidates exist -> cand_cap=2
+    # must overflow and reroute through the exact escalating path
+    want = [det.match(f, 55.0) for f in frames]
+    got = det.match_batch(frames, 55.0, cand_cap=2, distinct_cap=1)
+    for b, (g, w) in enumerate(zip(got, want)):
+        assert _match_key_list(g) == _match_key_list(w), f"frame {b}"
+
+
+def test_match_batch_packed_output():
+    det, templ_img = build_rotated_detector(num_templates=4,
+                                            num_features=48, size=128)
+    frames = np.stack([
+        synthetic_scene(256, 256, templ_img, n_instances=1, seed=s)
+        for s in (3, 4)
+    ])
+    packed = det.match_batch(frames, 80.0, cand_cap=64, as_matches=False)
+    k, x, y, sc, valid, overflow = packed["bench"]
+    assert k.shape == x.shape == y.shape == sc.shape == valid.shape \
+        == (2, 64)
+    assert overflow.shape == (2,)
+    assert not overflow.any()
+    # packed rows reproduce the Match list (pre-dedup superset)
+    want = det.match(frames[0], 80.0)
+    got = sorted(
+        {(int(x[0, i]), int(y[0, i]), round(float(sc[0, i]), 4), int(k[0, i]))
+         for i in np.nonzero(valid[0])[0]})
+    assert sorted({(m.x, m.y, round(m.similarity, 4), m.template_id)
+                   for m in want}) == got
