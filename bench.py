@@ -43,16 +43,20 @@ def _measure_throughput(num_templates: int = 360, batch: int = 8,
     from shape_based_matching_tpu.utils.synthetic import (
         build_rotated_detector, synthetic_scene)
 
+    import jax
+
     det, templ_img = build_rotated_detector(num_templates=num_templates,
                                             num_features=63)
     frames = np.stack([
         synthetic_scene(1024, 1024, templ_img, n_instances=4, seed=s)
         for s in range(batch)
     ])
-    det.match_batch(frames, 85.0, as_matches=False)  # compile
+    out = det.match_batch(frames, 85.0, as_matches=False)  # compile
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        det.match_batch(frames, 85.0, as_matches=False)
+        out = det.match_batch(frames, 85.0, as_matches=False)
+    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt
 

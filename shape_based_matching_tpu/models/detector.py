@@ -385,8 +385,8 @@ class Detector:
         return _sort_dedup(matches)
 
     def match_batch(self, sources, threshold: float, class_ids=None,
-                    masks=None, cand_cap: int = 1024,
-                    distinct_cap: int = 256, as_matches: bool = True):
+                    masks=None, cand_cap: int = 256,
+                    distinct_cap: int = 64, as_matches: bool = True):
         """Batched streaming match: B same-shaped frames in one device
         program per class, with NO per-frame host syncs (the escalation
         loops of match() are replaced by static caps + per-frame overflow
@@ -394,19 +394,21 @@ class Detector:
         match() path, so results are identical to [match(f) for f in
         sources]).
 
-        `sources`: uint8 [B, H, W] or [B, H, W, 3]; `masks`: optional
-        [B, H, W]. Returns a list of B match lists (`as_matches=True`) or
-        a dict of packed per-class arrays {class_id: (k, x, y, score,
-        valid)} each [B, cand_cap] plus 'overflow' [B] (`as_matches=False`
-        — no host transfer of Match objects, for throughput pipelines).
+        `sources`: uint8 [B, H, W] or [B, H, W, 3] (numpy or a jax array
+        already on device — no host round-trip either way); `masks`:
+        optional [B, H, W]. Returns a list of B match lists
+        (`as_matches=True`; all per-class results come back in ONE packed
+        device->host transfer) or a dict of packed per-class DEVICE arrays
+        {class_id: (k, x, y, score, valid, overflow)} each [B, cand_cap]
+        / [B] (`as_matches=False` — nothing is pulled to the host; for
+        throughput pipelines the caller decides when to sync).
         """
-        sources = np.asarray(sources)
         if sources.ndim not in (3, 4):
             raise ValueError("match_batch expects [B, H, W] or [B, H, W, 3]")
         self._validate_size(sources.shape[1:3])
         gray = sources.ndim == 3
         has_mask = masks is not None
-        mask_arr = (jnp.asarray(np.asarray(masks)) if has_mask
+        mask_arr = (jnp.asarray(masks) if has_mask
                     else jnp.zeros((1, 1), jnp.uint8))
         use_pallas = (self.use_pallas if self.use_pallas is not None
                       else use_pallas_default())
@@ -435,28 +437,44 @@ class Detector:
                 lms, tuple(banks), jnp.float32(threshold),
                 self.T_at_level, self.pyramid_levels, use_pallas, sizes,
                 int(cand_cap), min(int(distinct_cap), K), pathological)
-            packed[class_id] = (np.asarray(k), np.asarray(x), np.asarray(y),
-                                np.asarray(sc), np.asarray(valid),
-                                np.asarray(overflow))
+            packed[class_id] = (k, x, y, sc, valid, overflow)
 
         if not as_matches:
             return packed
 
+        # ONE device->host transfer for everything: [n_cls, B, 6, C] i32
+        # (float scores bitcast). Per-array pulls would pay the transfer
+        # latency 6x per class.
+        stacked = jnp.stack([
+            jnp.stack([
+                k, x, y,
+                jax.lax.bitcast_convert_type(sc, jnp.int32),
+                valid.astype(jnp.int32),
+                jnp.broadcast_to(overflow.astype(jnp.int32)[:, None],
+                                 k.shape),
+            ], axis=1)
+            for (k, x, y, sc, valid, overflow) in packed.values()
+        ])
+        host = np.asarray(stacked)
+
         out: list[list[Match]] = []
         for b in range(B):
             frame_matches: list[Match] = []
-            for class_id in class_ids:
-                k, x, y, sc, valid, overflow = packed[class_id]
-                if overflow[b]:
+            for ci, class_id in enumerate(class_ids):
+                k, x, y, sc_bits, valid, overflow = host[ci, b]
+                if overflow[0]:
                     # rare: exceed static caps -> exact escalating path
                     frame_matches.extend(
-                        self.match(sources[b], threshold, [class_id],
-                                   masks[b] if has_mask else None))
+                        self.match(np.asarray(sources[b]), threshold,
+                                   [class_id],
+                                   np.asarray(masks[b]) if has_mask
+                                   else None))
                     continue
-                for i in np.nonzero(valid[b])[0]:
+                sc = sc_bits.view(np.float32)
+                for i in np.nonzero(valid)[0]:
                     frame_matches.append(
-                        Match(int(x[b, i]), int(y[b, i]), float(sc[b, i]),
-                              class_id, int(k[b, i])))
+                        Match(int(x[i]), int(y[i]), float(sc[i]),
+                              class_id, int(k[i])))
             out.append(_sort_dedup(frame_matches))
         return out
 
