@@ -255,6 +255,149 @@ def cmd_match(args) -> int:
     return 0
 
 
+def cmd_train_db(args) -> int:
+    """DB-driven template creation (test_jabil.cpp:47-118
+    createLinemod2DTemplates): pull every tag model's fiducial crops from
+    the plant database, save each crop next to the model image, and train
+    an (angle x scale) template sweep per crop."""
+    from . import Detector, ShapeInfoProducer
+    from .db import TagDB, extract_tag_model_fiducials, fiducial_crop_path
+    from .utils import viz
+
+    det = Detector(num_features=args.num_features,
+                   T=tuple(int(t) for t in args.T.split(",")),
+                   weak_threshold=args.weak, strong_threshold=args.strong)
+    model_tags = extract_tag_model_fiducials(TagDB.get_instance(args.db))
+    if not model_tags:
+        print("no tag models with fiducial crops in the database",
+              file=sys.stderr)
+        return 1
+
+    a_lo, a_hi, a_step = _parse_range(args.angles)
+    s_lo, s_hi, s_step = _parse_range(args.scales)
+    os.makedirs(args.model_dir, exist_ok=True)
+
+    class_ids = []
+    for tag in model_tags:
+        model_img = _load_image(tag.model_file_name)
+        class_id = str(tag.model_id)
+        for tag_field_id, (x, y, w, h) in tag.crops:
+            crop_img = model_img[y:y + h, x:x + w].copy()
+            # the crop is stored next to the model image and is the source
+            # the match-time fiducial gate re-renders from
+            # (test_jabil.cpp:70-76)
+            fid_path = fiducial_crop_path(tag.model_file_name, tag_field_id)
+            viz.save_image(crop_img, fid_path)
+
+            producer = ShapeInfoProducer(
+                crop_img, None,
+                angle_range=[a_lo] if a_hi <= a_lo else [a_lo, a_hi],
+                scale_range=[s_lo] if s_hi <= s_lo else [s_lo, s_hi],
+                angle_step=a_step, scale_step=s_step)
+            for info in producer.produce_infos():
+                tid = det.add_template(
+                    producer.src_of(info), class_id, producer.mask_of(info),
+                    sscale=info.scale, orientation=info.angle,
+                    tag_field_id=tag_field_id, fiducial_src=fid_path)
+                if tid == -1:
+                    print(f"Could not create template with ID:{tid}")
+        class_ids.append(class_id)
+        print(f"Writing template for model: {tag.model_name}")
+        det.write_classes(os.path.join(args.model_dir, "%s.yaml.gz"))
+
+    det.save_settings(os.path.join(args.model_dir, "detector_linemod.yaml"),
+                      templates_dir=os.path.abspath(args.model_dir),
+                      classes=class_ids)
+    print(f"saved {det.num_templates()} templates over "
+          f"{len(class_ids)} classes to {args.model_dir}")
+    return 0
+
+
+def cmd_match_db(args) -> int:
+    """DB-driven batch match (test_jabil.cpp:120-310
+    detectTemplateLinemod): bootstrap the detector singleton from the
+    saved settings, match every image, NMS, and gate each match with the
+    stored-fiducial CCORR check against its database model."""
+    from . import get_instance
+    from .db import TagDB, extract_tag_model_fiducials
+    from .utils.nms import nms_boxes
+    from .utils.timer import CSVStat, Timer
+    from .utils.verify import bgr2gray_u8, verify_match_fiducial
+    from .utils import viz
+
+    model_tags = {t.model_id: t for t in
+                  extract_tag_model_fiducials(TagDB.get_instance(args.db))}
+    det = get_instance(
+        os.path.join(args.model_dir, "detector_linemod.yaml"))
+    stride = det.T_at_level[-1] * (2 ** (det.pyramid_levels - 1))
+    fid_cache: dict[str, np.ndarray] = {}
+
+    paths = sorted(
+        p for p in glob.glob(os.path.join(args.test_dir, "*"))
+        if p.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")))
+    if not paths:
+        print(f"no images in {args.test_dir}", file=sys.stderr)
+        return 1
+
+    stats = CSVStat(["MATCH", "NMS", "HCORR"])
+    for path in paths:
+        img = crop_to_stride(_load_image(path, gray=args.gray), stride)
+        timer = Timer()
+        matches = det.match(img, args.threshold)
+        timer.record("MATCH")
+
+        boxes, scores = [], []
+        for m in matches:
+            t0 = det.get_templates(m.class_id, m.template_id)[0]
+            boxes.append((m.x, m.y, t0.width, t0.height))
+            scores.append(m.similarity)
+        keep = nms_boxes(boxes, scores, 0.0, args.nms)
+        timer.record("NMS")
+
+        gray_scene = img if img.ndim == 2 else bgr2gray_u8(img)
+        kept = []
+        for i in keep:
+            m = matches[i]
+            t0 = det.get_templates(m.class_id, m.template_id)[0]
+            if int(m.class_id) not in model_tags:
+                print(f"Model '{m.class_id}' non-existent")
+                break
+            fid_src = getattr(t0, "fiducial_src", "") or ""
+            if args.verify_ccorr > 0 and os.path.exists(fid_src):
+                if fid_src not in fid_cache:
+                    fid_cache[fid_src] = _load_image(fid_src, gray=True)
+                ok, _score = verify_match_fiducial(
+                    gray_scene, (m.x, m.y), t0, fid_cache[fid_src],
+                    args.verify_ccorr)
+                if not ok:
+                    continue
+            kept.append(m)
+        timer.record("HCORR")
+
+        r = timer.records
+        stats.append([r.get("MATCH", 0), r.get("NMS", 0), r.get("HCORR", 0)])
+        print(f"{os.path.basename(path)}: {len(matches)} matches, "
+              f"{len(kept)} after NMS/verify "
+              f"[match {r.get('MATCH', 0):.1f} ms]")
+        for m in kept[: args.top_k]:
+            t0 = det.get_templates(m.class_id, m.template_id)[0]
+            name = model_tags[int(m.class_id)].model_name
+            print(f"  model={name} class={m.class_id} tid={m.template_id} "
+                  f"x={m.x} y={m.y} sim={m.similarity:.2f} "
+                  f"scale={t0.sscale:.2f} angle={int(t0.orientation)}")
+        if args.annotate:
+            os.makedirs(args.annotate, exist_ok=True)
+            out = viz.draw_matches(img, kept, det)
+            viz.save_image(out, os.path.join(
+                args.annotate, os.path.basename(path) + ".match.png"))
+
+    if args.csv:
+        with open(args.csv, "w") as f:
+            f.write(stats.summary_csv() + "\n")
+        print(f"timing summary -> {args.csv}")
+    return 0
+
+
 def cmd_preprocess(args) -> int:
     """Contrast-enhancement preview (test_old.cpp:277-334 test_preprocess):
     crop to 16n, halve, gray, CLAHE(clip, tiles) or equalizeHist, and save
@@ -324,6 +467,35 @@ def main(argv=None) -> int:
                     help="dump quantized-orientation images")
     ma.add_argument("--gray", action="store_true")
     ma.set_defaults(fn=cmd_match)
+
+    tdb = sub.add_parser(
+        "train-db", help="create templates from the tag DB (jabil -c)")
+    tdb.add_argument("--db", required=True, help="SQLite tag database")
+    tdb.add_argument("--model-dir", default="model_images")
+    tdb.add_argument("--num-features", type=int, default=150)
+    tdb.add_argument("--weak", type=float, default=100.0)
+    tdb.add_argument("--strong", type=float, default=200.0)
+    tdb.add_argument("--T", default="4,8")
+    tdb.add_argument("--angles", default="0:270:90",
+                     help="lo:hi:step (reference: 0..270 step 90)")
+    tdb.add_argument("--scales", default="0.9:1.1:0.1",
+                     help="lo:hi:step (reference: 0.9..1.1 step 0.1)")
+    tdb.set_defaults(fn=cmd_train_db)
+
+    mdb = sub.add_parser(
+        "match-db", help="batch match with DB model lookup (jabil -t)")
+    mdb.add_argument("--db", required=True, help="SQLite tag database")
+    mdb.add_argument("--model-dir", default="model_images")
+    mdb.add_argument("--test-dir", required=True)
+    mdb.add_argument("--threshold", type=float, default=90.0)
+    mdb.add_argument("--nms", type=float, default=0.5)
+    mdb.add_argument("--verify-ccorr", type=float, default=0.8,
+                     help="TM_CCORR_NORMED gate (reference: 0.8; 0 disables)")
+    mdb.add_argument("--top-k", type=int, default=10)
+    mdb.add_argument("--csv", help="write min/max/mean stage timings CSV")
+    mdb.add_argument("--annotate", help="directory for annotated outputs")
+    mdb.add_argument("--gray", action="store_true")
+    mdb.set_defaults(fn=cmd_match_db)
 
     pp = sub.add_parser("preprocess",
                         help="CLAHE/equalizeHist preview (test_old.cpp)")
