@@ -89,11 +89,18 @@ def _sort_dedup(matches: list) -> list:
 
 def _lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
                 levels: int, weak_threshold, n_ori: int = 8,
-                patch_2843: bool = False, with_bound: bool = True):
+                patch_2843: bool = False, with_bound: bool = True,
+                fused: bool = False):
     """Device pyramid: per level quantize -> spread -> responses -> linear
     memories (match() preamble, line2Dup.cpp:1084-1120). Plain traceable
     function; `with_bound` additionally builds the branch-and-bound
-    prefilter memories at the coarsest level."""
+    prefilter memories at the coarsest level. `fused` routes supported
+    configurations (gray, 8-ori, no mask) through the single-pass Pallas
+    frontend kernel — bit-identical to the XLA chain."""
+    from ..ops.pallas.frontend_pallas import (frontend_supported,
+                                              quant_spread_pallas)
+    from ..ops.response import build_lm_from_spread
+
     lmflats = []
     src = source
     msk = mask
@@ -102,24 +109,38 @@ def _lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
             src = pyr_down_u8(src)
             if has_mask:
                 msk = resize_nearest(msk, (src.shape[0], src.shape[1]))
-        if gray:
-            grads = quantized_orientations_gray(src, weak_threshold, n_ori,
-                                                patch_2843)
+        want_bound = (with_bound and l == levels - 1
+                      and src.shape[0] % (BOUND_STRIDE * T[l]) == 0
+                      and src.shape[1] % (BOUND_STRIDE * T[l]) == 0)
+        if fused and frontend_supported(src.shape, gray, n_ori, patch_2843,
+                                        has_mask):
+            thr_sq = jnp.float32(weak_threshold) ** 2
+            if want_bound:
+                sp, spb = quant_spread_pallas(
+                    src, thr_sq, T[l], T_bound=(BOUND_STRIDE + 1) * T[l])
+            else:
+                sp = quant_spread_pallas(src, thr_sq, T[l])
+            lm = build_lm_from_spread(sp, T[l], n_ori)
         else:
-            grads = quantized_orientations_color(src, weak_threshold, n_ori,
-                                                 patch_2843)
-        quantized = grads.angle
-        if has_mask:
-            quantized = jnp.where(msk > 0, quantized, 0)
-        lm = build_linear_memories(quantized, T[l], n_ori)  # [n_ori,T*T,M]
+            if gray:
+                grads = quantized_orientations_gray(src, weak_threshold,
+                                                    n_ori, patch_2843)
+            else:
+                grads = quantized_orientations_color(src, weak_threshold,
+                                                     n_ori, patch_2843)
+            quantized = grads.angle
+            if has_mask:
+                quantized = jnp.where(msk > 0, quantized, 0)
+            lm = build_linear_memories(quantized, T[l], n_ori)
+            if want_bound:
+                lmb = build_bound_memories(quantized, T[l], n_ori)
         m = lm.shape[-1]
         flat = jnp.concatenate([lm.reshape(-1),
                                 jnp.zeros((m,), jnp.uint8)])
-        if with_bound and l == levels - 1 \
-                and src.shape[0] % (BOUND_STRIDE * T[l]) == 0 \
-                and src.shape[1] % (BOUND_STRIDE * T[l]) == 0:
-            # branch-and-bound prefilter memories for the coarsest level
-            lmb = build_bound_memories(quantized, T[l], n_ori)
+        if want_bound:
+            if fused and frontend_supported(src.shape, gray, n_ori,
+                                            patch_2843, has_mask):
+                lmb = build_lm_from_spread(spb, BOUND_STRIDE * T[l], n_ori)
             mb = lmb.shape[-1]
             flatb = jnp.concatenate([lmb.reshape(-1),
                                      jnp.zeros((mb,), jnp.uint8)])
@@ -133,19 +154,46 @@ _build_lm_pyramid = partial(jax.jit,
                             static_argnames=("gray", "has_mask", "T",
                                              "levels", "n_ori",
                                              "patch_2843",
-                                             "with_bound"))(_lm_pyramid)
+                                             "with_bound",
+                                             "fused"))(_lm_pyramid)
 
 
 @partial(jax.jit, static_argnames=("gray", "has_mask", "T", "levels",
-                                   "n_ori", "patch_2843"))
+                                   "n_ori", "patch_2843", "fused"))
 def _batch_pyramid(sources, masks, gray: bool, has_mask: bool, T: tuple,
                    levels: int, weak_threshold, n_ori: int = 8,
-                   patch_2843: bool = False):
-    """Frame-batched lm pyramid: one program for B frames (no bound maps)."""
-    fn = lambda s, m: _lm_pyramid(s, m, gray, has_mask, T, levels,
-                                  weak_threshold, n_ori, patch_2843,
-                                  with_bound=False)
-    return jax.vmap(fn, in_axes=(0, 0 if has_mask else None))(sources, masks)
+                   patch_2843: bool = False, fused: bool = False):
+    """Frame-batched lm pyramid: one program for B frames (no bound maps).
+
+    The fused Pallas frontend cannot be vmapped (whole-image blocks), so
+    the batch path grids over frames inside the kernel
+    (quant_spread_pallas_batched) and vmaps only the XLA pieces."""
+    from ..ops.pallas.frontend_pallas import (frontend_supported,
+                                              quant_spread_pallas_batched)
+    from ..ops.response import build_lm_from_spread
+
+    if not (fused and frontend_supported(sources.shape[1:], gray, n_ori,
+                                         patch_2843, has_mask)):
+        fn = lambda s, m: _lm_pyramid(s, m, gray, has_mask, T, levels,
+                                      weak_threshold, n_ori, patch_2843,
+                                      with_bound=False, fused=False)
+        return jax.vmap(fn, in_axes=(0, 0 if has_mask else None))(
+            sources, masks)
+
+    lmflats = []
+    src = sources  # [B, H, W]
+    thr_sq = jnp.float32(weak_threshold) ** 2
+    for l in range(levels):
+        if l > 0:
+            src = jax.vmap(pyr_down_u8)(src)
+        sp = quant_spread_pallas_batched(src, thr_sq, T[l])
+        lm = jax.vmap(partial(build_lm_from_spread, T=T[l], n_ori=n_ori))(sp)
+        m = lm.shape[-1]
+        flat = jnp.concatenate(
+            [lm.reshape(lm.shape[0], -1),
+             jnp.zeros((lm.shape[0], m), jnp.uint8)], axis=1)
+        lmflats.append((lm, flat, None))
+    return tuple(lmflats)
 
 
 @partial(jax.jit, static_argnames=("T", "levels", "use_pallas", "sizes",
@@ -363,11 +411,13 @@ class Detector:
         mask_arr = (jnp.asarray(np.asarray(mask)) if has_mask
                     else jnp.zeros((1, 1), jnp.uint8))
 
+        use_pallas = (self.use_pallas if self.use_pallas is not None
+                      else use_pallas_default())
         lmflats = _build_lm_pyramid(
             jnp.asarray(source), mask_arr, gray, has_mask,
             self.T_at_level, self.pyramid_levels,
             jnp.float32(self.weak_threshold), self.num_orientations,
-            self.patch_2843)
+            self.patch_2843, with_bound=self.prefilter, fused=use_pallas)
 
         sizes = self._level_sizes(source.shape[:2])
 
@@ -417,7 +467,8 @@ class Detector:
         lms = _batch_pyramid(jnp.asarray(sources), mask_arr, gray, has_mask,
                              self.T_at_level, self.pyramid_levels,
                              jnp.float32(self.weak_threshold),
-                             self.num_orientations, self.patch_2843)
+                             self.num_orientations, self.patch_2843,
+                             fused=use_pallas)
 
         if class_ids is None or not class_ids:
             class_ids = list(self.class_templates.keys())

@@ -13,12 +13,15 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
+import numpy as np
 
-_P1 = jnp.float32(0.9997878412794807 * (180.0 / math.pi))
-_P3 = jnp.float32(-0.3258083974640975 * (180.0 / math.pi))
-_P5 = jnp.float32(0.1555786518463281 * (180.0 / math.pi))
-_P7 = jnp.float32(-0.04432655554792128 * (180.0 / math.pi))
-_DBL_EPS = jnp.float32(2.220446049250313e-16)
+# Plain Python floats (cast at use): jnp scalars would be captured
+# closure constants, which Pallas kernels reject.
+_P1 = float(np.float32(0.9997878412794807 * (180.0 / math.pi)))
+_P3 = float(np.float32(-0.3258083974640975 * (180.0 / math.pi)))
+_P5 = float(np.float32(0.1555786518463281 * (180.0 / math.pi)))
+_P7 = float(np.float32(-0.04432655554792128 * (180.0 / math.pi)))
+_DBL_EPS = 2.220446049250313e-16
 
 
 def phase_deg(dx: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
@@ -27,9 +30,11 @@ def phase_deg(dx: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
     y = dy.astype(jnp.float32)
     ax = jnp.abs(x)
     ay = jnp.abs(y)
-    c = jnp.where(ax >= ay, ay / (ax + _DBL_EPS), ax / (ay + _DBL_EPS))
+    eps = jnp.float32(_DBL_EPS)
+    c = jnp.where(ax >= ay, ay / (ax + eps), ax / (ay + eps))
     c2 = c * c
-    a = (((_P7 * c2 + _P5) * c2 + _P3) * c2 + _P1) * c
+    a = (((jnp.float32(_P7) * c2 + jnp.float32(_P5)) * c2
+          + jnp.float32(_P3)) * c2 + jnp.float32(_P1)) * c
     a = jnp.where(ax < ay, jnp.float32(90.0) - a, a)
     a = jnp.where(x < 0, jnp.float32(180.0) - a, a)
     a = jnp.where(y < 0, jnp.float32(360.0) - a, a)

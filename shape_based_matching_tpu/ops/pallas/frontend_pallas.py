@@ -1,0 +1,255 @@
+"""Pallas TPU kernel: fused LINE-2D frontend (blur -> sobel -> atan ->
+vote-quantize -> spread) in one VMEM-resident program.
+
+The XLA chain (ops/filters.py + ops/gradients.py + ops/response.spread)
+costs ~1.5 ms per level at 1024² on a v5e — each stage is a separate
+HBM-roundtrip pass over full-image f32/i32 buffers, ~50x the traffic bound
+of the 1 MB uint8 image. Here the whole image lives in VMEM and every
+stage is a register-to-register vector op; border handling (REPLICATE for
+the filters, zero for the vote window) is done with static rolls + iota
+selects instead of padding.
+
+Semantics are bit-identical to the XLA path (same fixed-point blur
+rounding, same fastAtan2 polynomial, same nibble-packed 3x3 vote, same
+log-doubling spread — see ops/filters.py, ops/gradients.py:40-142,
+ops/response.py:33-54 for the reference line2Dup.cpp anchors). The one
+caveat shared with the XLA path: f32 divide rounding inside fastAtan2 may
+differ by ulps between backends; a bucket flip needs the true angle within
+~3e-5° of a 22.5° boundary (ops/fastmath.py docstring).
+
+The downstream response/linearize stages commute (the response LUT is
+pointwise, linearize is a permutation), so the full linear-memory build
+becomes: this kernel -> linearize the ONE spread plane (MXU one-hot
+matmul, 8x less shuffle traffic than linearizing 8 response planes) ->
+pointwise response on the [T*T, M] rows (see
+ops/response.build_linear_memories_fused).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fastmath import phase_deg
+
+# OpenCV small-gaussian 7-tap kernel in Q8 (filters._GAUSS7_Q8).
+_GAUSS7_Q8 = (8, 28, 56, 72, 56, 28, 8)
+
+
+def _shift_replicate(x, d, axis):
+    """x shifted so out[i] = x[i - d] (d may be negative), REPLICATE border.
+
+    Whole-array static roll + iota select; clamped edge value comes from
+    broadcasting the first/last row (or column).
+    """
+    if d == 0:
+        return x
+    n = x.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    rolled = pltpu.roll(x, d % n, axis=axis)
+    if d > 0:  # out[i < d] = x[0]
+        edge = (x[0:1, :] if axis == 0 else x[:, 0:1])
+        return jnp.where(idx >= d, rolled, edge)
+    # d < 0: out[i >= n - |d|] = x[n - 1]
+    edge = (x[n - 1:n, :] if axis == 0 else x[:, n - 1:n])
+    return jnp.where(idx < n + d, rolled, edge)
+
+
+def _shift_zero(x, d, axis):
+    """x shifted so out[i] = x[i - d], zeros shifted in."""
+    if d == 0:
+        return x
+    n = x.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    rolled = pltpu.roll(x, d % n, axis=axis)
+    zero = jnp.zeros((), x.dtype)
+    if d > 0:
+        return jnp.where(idx >= d, rolled, zero)
+    return jnp.where(idx < n + d, rolled, zero)
+
+
+def _sep_replicate(x, taps, axis):
+    """Correlate with centered integer taps, REPLICATE border."""
+    r = len(taps) // 2
+    acc = None
+    for i, t in enumerate(taps):
+        if t == 0:
+            continue
+        s = _shift_replicate(x, r - i, axis)  # out[j] = x[j + (i - r)]
+        term = s if t == 1 else s * t
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _spread_or(sp, T, axis):
+    """OR over the T-window up-left along `axis` via log-doubling
+    (response._shift_or_axis semantics: out[i] = OR_{0<=d<T} x[i+d])."""
+    covered = 1
+    while covered < T:
+        d = min(covered, T - covered)
+        sp = sp | _shift_zero(sp, -d, axis)
+        covered += d
+    return sp
+
+
+def _quant_spread_kernel(img_ref, thr_ref, out_ref, *, T, with_quant,
+                         T_bound=None, quant_ref=None, bound_ref=None,
+                         batched: bool = False):
+    if batched:  # refs carry a leading size-1 batch block
+        h, w = img_ref.shape[1:]
+        img = img_ref[0].astype(jnp.int32)
+    else:
+        h, w = img_ref.shape
+        img = img_ref[...].astype(jnp.int32)
+
+    # --- GaussianBlur 7x7 sigma=0, BORDER_REPLICATE, Q8 fixed point ------
+    acc = _sep_replicate(img, _GAUSS7_Q8, 1)
+    acc = _sep_replicate(acc, _GAUSS7_Q8, 0)
+    blurred = (acc + (1 << 15)) >> 16
+
+    # --- Sobel 3x3 (smooth [1,2,1] x diff [-1,0,1]), BORDER_REPLICATE ----
+    sv = _sep_replicate(blurred, (1, 2, 1), 0)
+    dx = _sep_replicate(sv, (-1, 0, 1), 1)
+    sh = _sep_replicate(blurred, (1, 2, 1), 1)
+    dy = _sep_replicate(sh, (-1, 0, 1), 0)
+
+    mag = (dx * dx + dy * dy).astype(jnp.float32)
+    ang = phase_deg(dx.astype(jnp.float32), dy.astype(jnp.float32))
+
+    # --- quantize to 16 then fold to 8 bins, zero the 1px border ---------
+    q16 = jax.lax.round(ang * jnp.float32(16.0 / 360.0),
+                        jax.lax.RoundingMethod.TO_NEAREST_EVEN
+                        ).astype(jnp.int32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (row > 0) & (row < h - 1) & (col > 0) & (col < w - 1)
+    q8 = jnp.where(border, q16 & 7, 0)
+
+    # --- 3x3 nibble-packed majority vote (gradients.hysteresis_quantize) -
+    packed = (jnp.uint32(1) << (jnp.uint32(4) * q8.astype(jnp.uint32)))
+    votes = jnp.zeros((h, w), jnp.uint32)
+    for di in (-1, 0, 1):
+        rowshift = packed if di == 0 else _shift_zero(packed, di, 0)
+        for dj in (-1, 0, 1):
+            votes = votes + (rowshift if dj == 0
+                             else _shift_zero(rowshift, dj, 1))
+
+    max_votes = jnp.zeros((h, w), jnp.uint32)
+    best_bin = jnp.zeros((h, w), jnp.uint32)
+    for b in range(8):
+        cnt = (votes >> jnp.uint32(4 * b)) & jnp.uint32(15)
+        better = cnt > max_votes
+        max_votes = jnp.where(better, cnt, max_votes)
+        best_bin = jnp.where(better, jnp.uint32(b), best_bin)
+
+    thr = thr_ref[0]
+    ok = border & (mag > thr) & (max_votes >= 5)
+    quant = jnp.where(ok, jnp.uint32(1) << best_bin, jnp.uint32(0))
+
+    def write(ref, val):
+        if batched:
+            ref[0] = val
+        else:
+            ref[...] = val
+
+    if with_quant:
+        write(quant_ref, quant.astype(jnp.uint8))
+
+    # --- spread: OR over the T x T window up-left (response.spread) ------
+    write(out_ref, _spread_or(_spread_or(quant, T, 0), T, 1)
+          .astype(jnp.uint8))
+    if T_bound is not None:
+        # wider spread for the branch-and-bound prefilter
+        # (response.build_bound_memories)
+        write(bound_ref, _spread_or(_spread_or(quant, T_bound, 0),
+                                    T_bound, 1).astype(jnp.uint8))
+
+
+def frontend_supported(shape, gray: bool, n_ori: int,
+                       patch_2843: bool, has_mask: bool) -> bool:
+    """Whether the fused kernel covers this configuration (the hot match
+    path); everything else takes the XLA chain."""
+    h, w = shape[:2]
+    return (gray and n_ori == 8 and not patch_2843 and not has_mask
+            and h % 8 == 0 and w % 128 == 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("T", "T_bound", "with_quant",
+                                    "interpret"))
+def quant_spread_pallas(img: jnp.ndarray, threshold_sq, T: int,
+                        T_bound: int | None = None,
+                        with_quant: bool = False, interpret: bool = False):
+    """spread(hysteresis_quantize(...), T) fused in one kernel.
+
+    img: [H, W] uint8 gray (the gray path of quantizedOrientations,
+    line2Dup.cpp:322-330; color/16-ori/PATCH_2843 use the XLA path).
+    Returns the [H, W] uint8 spread image; optional extra outputs (in this
+    order): the pre-spread quantized image (`with_quant`) and a second,
+    `T_bound`-wide spread for the prefilter bound memories.
+    """
+    h, w = img.shape
+    thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1)
+    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.uint8)]
+    if with_quant:
+        out_shape.append(jax.ShapeDtypeStruct((h, w), jnp.uint8))
+    if T_bound is not None:
+        out_shape.append(jax.ShapeDtypeStruct((h, w), jnp.uint8))
+
+    def body(img_ref, thr_ref, out_ref, *rest):
+        rest = list(rest)
+        _quant_spread_kernel(
+            img_ref, thr_ref, out_ref, T=T, with_quant=with_quant,
+            T_bound=T_bound,
+            quant_ref=rest.pop(0) if with_quant else None,
+            bound_ref=rest.pop(0) if T_bound is not None else None)
+
+    outs = pl.pallas_call(
+        body,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(img, thr)
+    return outs if len(out_shape) > 1 else outs[0]
+
+
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def quant_spread_pallas_batched(imgs: jnp.ndarray, threshold_sq, T: int,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Frame-batched quant_spread_pallas: [B, H, W] -> [B, H, W].
+
+    Grid over the batch dim (one frontend program per frame) — pallas_call
+    under jax.vmap cannot lower this kernel's whole-image blocks, so the
+    batch path calls this variant directly instead of vmapping."""
+    b, h, w = imgs.shape
+    thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1)
+
+    def body(img_ref, thr_ref, out_ref):
+        _quant_spread_kernel(img_ref, thr_ref, out_ref, T=T,
+                             with_quant=False, batched=True)
+
+    return pl.pallas_call(
+        body,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(imgs, thr)

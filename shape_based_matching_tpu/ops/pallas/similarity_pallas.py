@@ -96,6 +96,66 @@ def _coarse_kernel(meta_ref, lm_ref, out_ref):
     out_ref[0] = acc
 
 
+def _coarse_kernel_packed(meta_ref, lm_ref, out_ref):
+    """Byte-packed variant: 4 consecutive LM cells per i32 lane.
+
+    lm_ref: VMEM [C+1, rows_w, 128] i32, word at (r, c) = little-endian
+    bytes 512r+4c .. +3 of the padded plane. A feature's flat byte shift s
+    decomposes into a word shift s//4 (the same rotate dance as the
+    unpacked kernel, on 4x smaller tiles) plus a byte offset s%4 stitched
+    from the word pair (W1, W2=W1 shifted one more word):
+
+        value = (W1 >> 8r) | ((W2 << 8*(3-r)) << 8)      [r = s % 4]
+
+    (the double left shift keeps both amounts < 32 so r == 0 degenerates
+    to W1 | 0). Accumulation stays packed: responses are <= 4 and the
+    feature count <= 63, so every byte sum <= 252 — no carry ever crosses
+    a byte boundary. The caller gates on that bound and unpacks the final
+    [K, rows_w, 128] i32 via a bitcast. All byte movement is identical to
+    the unpacked kernel, so results match the XLA path bit-for-bit.
+    """
+    n_feats = meta_ref[0, 0, meta_ref.shape[2] - 1]
+    rows = lm_ref.shape[1]
+    lanes = lm_ref.shape[2]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+
+    def one(n):
+        plane = meta_ref[0, 0, n]
+        s = meta_ref[0, 1, n]
+        sw = s // 4
+        r = s % 4
+        q = sw // lanes
+        rem = sw % lanes
+        p = lm_ref[plane]
+        a = pltpu.roll(p, jax.lax.rem(rows - q, rows), axis=0)
+        l = pltpu.roll(a, jax.lax.rem(lanes - rem, lanes), axis=1)
+        l1 = pltpu.roll(l, rows - 1, axis=0)
+        w1 = jnp.where(col < lanes - rem, l, l1)
+        # W2 = flat roll of W1 by one more word: lanes left by 1, with the
+        # wrapped last lane taking the next row's first word.
+        y = pltpu.roll(w1, lanes - 1, axis=1)
+        y1 = pltpu.roll(y, rows - 1, axis=0)
+        w2 = jnp.where(col < lanes - 1, y, y1)
+        return (w1 >> (8 * r)) | ((w2 << (8 * (3 - r))) << 8)
+
+    UNROLL = 8
+    def body(i, acc):
+        base = i * UNROLL
+        for u in range(UNROLL):
+            acc = acc + one(base + u)
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, n_feats // UNROLL, body, jnp.zeros((rows, lanes), jnp.int32))
+
+    def tail(n, acc):
+        return acc + one(n)
+
+    acc = jax.lax.fori_loop((n_feats // UNROLL) * UNROLL, n_feats, tail, acc)
+    out_ref[0] = acc
+
+
 @functools.partial(jax.jit, static_argnames=("T", "size_wh", "interpret",
                                              "mask_positions"))
 def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
@@ -118,7 +178,16 @@ def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
     # <= M + W (see module docstring), so pad by AT LEAST max(W, 1) extra
     # cells and fill the pad of plane p with the head of plane p+1 — the
     # exact bytes the reference's contiguous linear-memory Mat holds there.
-    M_pad = -(-(M + max(W, 1)) // 1024) * 1024
+    # Packed mode: 4 LM bytes per i32 lane (see _coarse_kernel_packed).
+    # Exact iff no byte sum can overflow: max_response * slot_count <= 255
+    # (N bounds nfeat, so the gate is static). Padding granularity rises to
+    # 4096 so the packed word grid keeps 8-aligned sublanes (Mosaic's
+    # dynamic rotate requires it).
+    N_slots = int(bank.fx.shape[1])
+    max_resp = 4 if n_ori == 8 else 8
+    packed = N_slots * max_resp <= 255
+    gran = 4096 if packed else 1024
+    M_pad = -(-(M + max(W, 1)) // gran) * gran
     rows = M_pad // 128
     P = M_pad - M
     lm2 = lm.reshape(C, M)
@@ -149,27 +218,53 @@ def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
     meta = jnp.stack([plane, shift], axis=1).astype(jnp.int32)  # [K,2,N+1]
 
     K, _, N = meta.shape
-    S = pl.pallas_call(
-        _coarse_kernel,
-        grid=(K,),
-        in_specs=[
-            pl.BlockSpec((1, 2, N), lambda k: (k, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((C + 1, rows, 128), lambda k: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, rows, 128), lambda k: (k, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, rows, 128), jnp.int32),
-        # Under vmap (frame-batched match) the LM block index varies with
-        # the prepended batch grid dim, so Pallas double-buffers the LM
-        # block; at T=4 that is 2 x 8.6 MB and busts the default 16 MB
-        # scoped-vmem limit. v5e/v6 have 128 MB VMEM — allow 64 MB.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-        interpret=interpret,
-    )(meta, lm3)
-
-    S = S.reshape(K, M_pad)[:, :M]
+    if packed:
+        rows_w = M_pad // 512
+        lm3p = jax.lax.bitcast_convert_type(
+            lm3.reshape(C + 1, rows_w * 128, 4), jnp.int32
+        ).reshape(C + 1, rows_w, 128)
+        Sp = pl.pallas_call(
+            _coarse_kernel_packed,
+            grid=(K,),
+            in_specs=[
+                pl.BlockSpec((1, 2, N), lambda k: (k, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((C + 1, rows_w, 128), lambda k: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, rows_w, 128), lambda k: (k, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((K, rows_w, 128), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2**20),
+            interpret=interpret,
+        )(meta, lm3p)
+        # unpack bytes -> cells; widen once so downstream integer
+        # arithmetic (score * 100) cannot overflow a u8.
+        S = jax.lax.bitcast_convert_type(Sp, jnp.uint8).reshape(
+            K, M_pad)[:, :M].astype(jnp.int32)
+    else:
+        S = pl.pallas_call(
+            _coarse_kernel,
+            grid=(K,),
+            in_specs=[
+                pl.BlockSpec((1, 2, N), lambda k: (k, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((C + 1, rows, 128), lambda k: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, rows, 128), lambda k: (k, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((K, rows, 128), jnp.int32),
+            # Under vmap (frame-batched match) the LM block index varies
+            # with the prepended batch grid dim, so Pallas double-buffers
+            # the LM block; at T=4 that is 2 x 8.6 MB and busts the
+            # default 16 MB scoped-vmem limit. v5e/v6 have 128 MB VMEM.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2**20),
+            interpret=interpret,
+        )(meta, lm3)
+        S = S.reshape(K, M_pad)[:, :M]
     wf = (bank.width - 1) // T + 1
     hf = (bank.height - 1) // T + 1
     positions = (H - hf) * W + (W - wf) + 1

@@ -132,6 +132,44 @@ def build_linear_memories(quantized: jnp.ndarray, T: int,
     return linearize(response_maps(spread(quantized, T), n_ori), T)
 
 
+@partial(jax.jit, static_argnames=("T", "n_ori"))
+def build_lm_from_spread(sp: jnp.ndarray, T: int,
+                         n_ori: int = 8) -> jnp.ndarray:
+    """[H, W] spread plane -> [n_ori, T*T, M] linear memories.
+
+    Exploits response∘linearize commutativity: linearize permutes pixels
+    and the response LUT is pointwise, so decimating the ONE spread plane
+    first (MXU one-hot matmul) and applying the bit-test response to its
+    [T*T, M] rows yields bytes identical to
+    ``linearize(response_maps(sp), T)`` while moving n_ori× less data
+    through the shuffle."""
+    return response_maps(linearize(sp[None], T)[0], n_ori)
+
+
+@partial(jax.jit, static_argnames=("T", "n_ori", "interpret"))
+def build_linear_memories_fused(src: jnp.ndarray, weak_threshold, T: int,
+                                n_ori: int = 8,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Fused image -> linear memories: Pallas frontend kernel + reordered
+    response/linearize.
+
+    Bit-identical to ``build_linear_memories(quantized_orientations_gray(
+    src, thr).angle, T)``: the Pallas kernel reproduces the quantize+spread
+    chain exactly, and response_maps (pointwise) commutes with linearize
+    (a permutation), so linearizing the ONE spread plane first and applying
+    the bit-test response to its [T*T, M] rows gives the same bytes while
+    moving 8x less data through the decimation shuffle.
+
+    Gray 8-ori only (the hot match path); color/16-ori/PATCH_2843 callers
+    use the unfused path.
+    """
+    from .pallas.frontend_pallas import quant_spread_pallas
+
+    sp = quant_spread_pallas(src, jnp.float32(weak_threshold) ** 2, T,
+                             interpret=interpret)
+    return build_lm_from_spread(sp, T, n_ori)
+
+
 # Branch-and-bound prefilter decimation: the bound is evaluated every
 # BOUND_STRIDE-th T-cell with an accordingly wider spread. Stride 4 makes
 # the bound kernel ~1/16 the cost of full coarse scoring (the tile a

@@ -1,0 +1,88 @@
+"""Fused Pallas frontend kernel vs the XLA chain — bit-equality.
+
+The kernel (ops/pallas/frontend_pallas.py) fuses blur->sobel->atan->
+vote-quantize->spread; interpret mode runs the same program on CPU. The
+reordered response/linearize (build_lm_from_spread) must match
+build_linear_memories exactly (response is pointwise, linearize a
+permutation). On real TPU hardware the same parity is asserted with
+SBM_TEST_TPU=1 (compiled kernel).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from shape_based_matching_tpu.ops.gradients import quantized_orientations_gray
+from shape_based_matching_tpu.ops.pallas.frontend_pallas import (
+    frontend_supported, quant_spread_pallas)
+from shape_based_matching_tpu.ops.response import (
+    BOUND_STRIDE, build_bound_memories, build_linear_memories,
+    build_linear_memories_fused, build_lm_from_spread, spread)
+from shape_based_matching_tpu.utils.synthetic import (synthetic_scene,
+                                                      synthetic_shape_image)
+
+INTERPRET = True  # CPU CI; flip via SBM_TEST_TPU for on-chip runs
+
+
+def _images():
+    rng = np.random.RandomState(7)
+    noise = (rng.rand(128, 256) * 255).astype(np.uint8)
+    templ = synthetic_shape_image(96, seed=1)
+    scene = synthetic_scene(256, 256, templ, n_instances=3, seed=2)
+    flat = np.full((64, 128), 127, np.uint8)  # no gradients anywhere
+    return {"noise": noise, "scene": scene, "flat": flat}
+
+
+@pytest.mark.parametrize("T", [4, 8])
+@pytest.mark.parametrize("name", ["noise", "scene", "flat"])
+def test_quant_and_spread_parity(T, name):
+    img = _images()[name]
+    g = quantized_orientations_gray(jnp.asarray(img), jnp.float32(30.0))
+    ref_sp = np.asarray(spread(g.angle, T))
+    got_sp, got_q = quant_spread_pallas(
+        jnp.asarray(img), jnp.float32(30.0) ** 2, T, with_quant=True,
+        interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got_q), np.asarray(g.angle))
+    np.testing.assert_array_equal(np.asarray(got_sp), ref_sp)
+
+
+@pytest.mark.parametrize("T", [4, 8])
+def test_linear_memories_parity(T):
+    img = _images()["scene"]
+    g = quantized_orientations_gray(jnp.asarray(img), jnp.float32(30.0))
+    ref = np.asarray(build_linear_memories(g.angle, T))
+    got = np.asarray(build_linear_memories_fused(
+        jnp.asarray(img), 30.0, T, interpret=INTERPRET))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_bound_memories_parity():
+    T = 8
+    img = _images()["scene"]
+    g = quantized_orientations_gray(jnp.asarray(img), jnp.float32(30.0))
+    ref = np.asarray(build_bound_memories(g.angle, T))
+    _, spb = quant_spread_pallas(
+        jnp.asarray(img), jnp.float32(30.0) ** 2, T,
+        T_bound=(BOUND_STRIDE + 1) * T, interpret=INTERPRET)
+    got = np.asarray(build_lm_from_spread(spb, BOUND_STRIDE * T))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_weak_threshold_respected():
+    img = _images()["scene"]
+    for thr in (10.0, 60.0):
+        g = quantized_orientations_gray(jnp.asarray(img), jnp.float32(thr))
+        _, got_q = quant_spread_pallas(
+            jnp.asarray(img), jnp.float32(thr) ** 2, 4, with_quant=True,
+            interpret=INTERPRET)
+        np.testing.assert_array_equal(np.asarray(got_q), np.asarray(g.angle))
+
+
+def test_frontend_supported_gate():
+    assert frontend_supported((1024, 1024), True, 8, False, False)
+    assert not frontend_supported((1024, 1024), False, 8, False, False)
+    assert not frontend_supported((1024, 1024), True, 16, False, False)
+    assert not frontend_supported((1024, 1024), True, 8, True, False)
+    assert not frontend_supported((1024, 1024), True, 8, False, True)
+    assert not frontend_supported((1024, 160), True, 8, False, False)
