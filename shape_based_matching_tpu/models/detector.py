@@ -32,6 +32,8 @@ from ..ops.similarity import (LevelBank, bound_scores,
                               gather_bank, pack_level_bank,
                               refine_candidates, refine_from_maps,
                               use_pallas_default)
+from ..ops.pallas.refine_pallas import (refine_windows_pallas,
+                                        window_refine_supported)
 from ..utils.yaml_io import (class_file_path, dump_opencv_yaml,
                              load_opencv_yaml)
 from . import training
@@ -197,10 +199,12 @@ def _batch_pyramid(sources, masks, gray: bool, has_mask: bool, T: tuple,
 
 
 @partial(jax.jit, static_argnames=("T", "levels", "use_pallas", "sizes",
-                                   "cand_cap", "d_cap", "pathological"))
+                                   "cand_cap", "d_cap", "pathological",
+                                   "window_ok"))
 def _match_batch_class(lms, banks, threshold, T: tuple, levels: int,
                        use_pallas: bool, sizes: tuple, cand_cap: int,
-                       d_cap: int, pathological: tuple):
+                       d_cap: int, pathological: tuple,
+                       window_ok: tuple = ()):
     """Device-complete batched matchClass: coarse scoring -> candidate
     compaction -> pyramid refinement for B frames in ONE program — the
     streaming/batch replacement for the per-frame host-sync escalation
@@ -226,7 +230,11 @@ def _match_batch_class(lms, banks, threshold, T: tuple, levels: int,
         overflow = n_above > cand_cap
         for l in range(levels - 2, -1, -1):
             lm_l, lmflat_l = lm_tuple[l][0], lm_tuple[l][1]
-            if pathological[l]:
+            if window_ok and window_ok[l]:
+                k, x, y, sc, valid = refine_windows_pallas(
+                    lm_l, banks[l], T[l], sizes[l], k, x, y, valid,
+                    threshold)
+            elif pathological[l]:
                 k, x, y, sc, valid = refine_candidates(
                     lmflat_l, banks[l], T[l], sizes[l], k, x, y, valid,
                     threshold)
@@ -484,10 +492,16 @@ class Detector:
                                       self.T_at_level[l])
                 for l in range(self.pyramid_levels - 1)
             )
+            window_ok = tuple(
+                use_pallas and window_refine_supported(
+                    sizes[l], self.T_at_level[l], self.num_orientations)
+                for l in range(self.pyramid_levels - 1)
+            )
             k, x, y, sc, valid, overflow = _match_batch_class(
                 lms, tuple(banks), jnp.float32(threshold),
                 self.T_at_level, self.pyramid_levels, use_pallas, sizes,
-                int(cand_cap), min(int(distinct_cap), K), pathological)
+                int(cand_cap), min(int(distinct_cap), K), pathological,
+                window_ok)
             packed[class_id] = (k, x, y, sc, valid, overflow)
 
         if not as_matches:
@@ -613,13 +627,22 @@ class Detector:
 
     def _refine_level(self, lmflat_pair, bank, T, size_wh, k, x, y, valid,
                       threshold):
-        """One refinement level. Fast path: full fine maps for only the
-        distinct candidate templates (Pallas/XLA coarse kernel, unmasked)
-        + windowed argmax — exact under the border-clamp invariant. The
-        per-candidate gather fallback handles pathological banks (templates
-        wider than image - 16T, where the C++ starts dropping features)."""
+        """One refinement level. TPU path: the Pallas window kernel
+        computes each candidate's 16x16 local similarity straight from
+        the linear memories (O(candidates), exact for all banks incl.
+        pathological ones). XLA path: full fine maps for the distinct
+        candidate templates + windowed argmax — exact under the
+        border-clamp invariant; the per-candidate gather fallback handles
+        pathological banks (templates wider than image - 16T, where the
+        C++ starts dropping features)."""
         lm, lmflat = lmflat_pair
         w_img, h_img = size_wh
+        use_pallas = (self.use_pallas if self.use_pallas is not None
+                      else use_pallas_default())
+        if use_pallas and window_refine_supported(
+                size_wh, T, self.num_orientations):
+            return refine_windows_pallas(lm, bank, T, size_wh, k, x, y,
+                                         valid, jnp.float32(threshold))
         if self._is_pathological(bank, size_wh, T):
             return refine_candidates(lmflat, bank, T, size_wh, k, x, y,
                                      valid, jnp.float32(threshold))

@@ -367,7 +367,9 @@ def refine_candidates(lmflat: jnp.ndarray, bank: LevelBank, T: int, size_wh,
     w_img, h_img = size_wh
     W, H = w_img // T, h_img // T
     M = W * H
-    L = 8 * T * T * M
+    # invalid features route to the M-byte zero pad at the buffer's end;
+    # derived from the buffer so 16-orientation stacks work too
+    L = lmflat.shape[0] - M
     border = 8 * T
     offset = T // 2 + (T % 2 - 1)
 
