@@ -24,10 +24,8 @@ import numpy as np
 from ..ops.gradients import (quantized_orientations_color,
                              quantized_orientations_gray)
 from ..ops.filters import pyr_down_u8, resize_nearest
-from ..ops.response import (BOUND_STRIDE, build_bound_memories,
-                            build_linear_memories)
-from ..ops.similarity import (LevelBank, bound_scores,
-                              coarse_similarity_dispatch, compact_survivors,
+from ..ops.response import build_linear_memories
+from ..ops.similarity import (LevelBank, coarse_similarity_dispatch,
                               distinct_templates, extract_candidates,
                               gather_bank, pack_level_bank,
                               refine_candidates, refine_from_maps,
@@ -91,14 +89,12 @@ def _sort_dedup(matches: list) -> list:
 
 def _lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
                 levels: int, weak_threshold, n_ori: int = 8,
-                patch_2843: bool = False, with_bound: bool = True,
-                fused: bool = False):
+                patch_2843: bool = False, fused: bool = False):
     """Device pyramid: per level quantize -> spread -> responses -> linear
     memories (match() preamble, line2Dup.cpp:1084-1120). Plain traceable
-    function; `with_bound` additionally builds the branch-and-bound
-    prefilter memories at the coarsest level. `fused` routes supported
-    configurations (gray, 8-ori, no mask) through the single-pass Pallas
-    frontend kernel — bit-identical to the XLA chain."""
+    function; `fused` routes supported configurations (gray, 8-ori, no
+    mask) through the single-pass Pallas frontend kernel — bit-identical
+    to the XLA chain."""
     from ..ops.pallas.frontend_pallas import (frontend_supported,
                                               quant_spread_pallas)
     from ..ops.response import build_lm_from_spread
@@ -111,17 +107,10 @@ def _lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
             src = pyr_down_u8(src)
             if has_mask:
                 msk = resize_nearest(msk, (src.shape[0], src.shape[1]))
-        want_bound = (with_bound and l == levels - 1
-                      and src.shape[0] % (BOUND_STRIDE * T[l]) == 0
-                      and src.shape[1] % (BOUND_STRIDE * T[l]) == 0)
         if fused and frontend_supported(src.shape, gray, n_ori, patch_2843,
                                         has_mask):
             thr_sq = jnp.float32(weak_threshold) ** 2
-            if want_bound:
-                sp, spb = quant_spread_pallas(
-                    src, thr_sq, T[l], T_bound=(BOUND_STRIDE + 1) * T[l])
-            else:
-                sp = quant_spread_pallas(src, thr_sq, T[l])
+            sp = quant_spread_pallas(src, thr_sq, T[l])
             lm = build_lm_from_spread(sp, T[l], n_ori)
         else:
             if gray:
@@ -134,21 +123,10 @@ def _lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
             if has_mask:
                 quantized = jnp.where(msk > 0, quantized, 0)
             lm = build_linear_memories(quantized, T[l], n_ori)
-            if want_bound:
-                lmb = build_bound_memories(quantized, T[l], n_ori)
         m = lm.shape[-1]
         flat = jnp.concatenate([lm.reshape(-1),
                                 jnp.zeros((m,), jnp.uint8)])
-        if want_bound:
-            if fused and frontend_supported(src.shape, gray, n_ori,
-                                            patch_2843, has_mask):
-                lmb = build_lm_from_spread(spb, BOUND_STRIDE * T[l], n_ori)
-            mb = lmb.shape[-1]
-            flatb = jnp.concatenate([lmb.reshape(-1),
-                                     jnp.zeros((mb,), jnp.uint8)])
-            lmflats.append((lm, flat, (lmb, flatb)))
-        else:
-            lmflats.append((lm, flat, None))
+        lmflats.append((lm, flat, None))
     return tuple(lmflats)
 
 
@@ -156,7 +134,6 @@ _build_lm_pyramid = partial(jax.jit,
                             static_argnames=("gray", "has_mask", "T",
                                              "levels", "n_ori",
                                              "patch_2843",
-                                             "with_bound",
                                              "fused"))(_lm_pyramid)
 
 
@@ -178,7 +155,7 @@ def _batch_pyramid(sources, masks, gray: bool, has_mask: bool, T: tuple,
                                          patch_2843, has_mask)):
         fn = lambda s, m: _lm_pyramid(s, m, gray, has_mask, T, levels,
                                       weak_threshold, n_ori, patch_2843,
-                                      with_bound=False, fused=False)
+                                      fused=False)
         return jax.vmap(fn, in_axes=(0, 0 if has_mask else None))(
             sources, masks)
 
@@ -312,11 +289,6 @@ class Detector:
         # opencv_contrib issue #2843 variant (compile-time-disabled in the
         # reference, line2Dup.cpp:9): weak pixels cast no orientation votes.
         self.patch_2843 = bool(patch_2843)
-        # exact branch-and-bound template prefilter (see bound_scores).
-        # Opt-in: measured on v5e the bound kernel costs about as much as
-        # scoring the pruned templates outright (per-feature rotate cost
-        # dominates, independent of map size); revisit with a cheaper bound.
-        self.prefilter = False
         self.T_at_level = tuple(int(t) for t in T)
         self.pyramid_levels = len(self.T_at_level)
         self.weak_threshold = float(weak_threshold)
@@ -425,7 +397,7 @@ class Detector:
             jnp.asarray(source), mask_arr, gray, has_mask,
             self.T_at_level, self.pyramid_levels,
             jnp.float32(self.weak_threshold), self.num_orientations,
-            self.patch_2843, with_bound=self.prefilter, fused=use_pallas)
+            self.patch_2843, fused=use_pallas)
 
         sizes = self._level_sizes(source.shape[:2])
 
@@ -559,35 +531,14 @@ class Detector:
         size_last = sizes[-1]
         w_last = size_last[0] // t_last
 
-        lm_last, lmflat_last, lm_bound = lmflats[-1]
+        lm_last, lmflat_last, _ = lmflats[-1]
         bank_last = banks[-1]
         K = int(bank_last.fx.shape[0])
 
-        # Branch-and-bound prefilter: prune templates whose score upper
-        # bound cannot clear the threshold (exact; see bound_scores).
-        slots = None
-        if lm_bound is not None and self.prefilter and K >= 512:
-            bmax = bound_scores(lm_bound[0], lm_bound[1], bank_last, t_last,
-                                size_last, self.use_pallas)
-            for D in [d for d in (64, 256, 1024) if d < K] + [K]:
-                slots, n_surv = compact_survivors(
-                    bmax, bank_last.nfeat, jnp.float32(threshold), D)
-                if int(n_surv) <= D or D == K:
-                    break
-            if int(n_surv) == K:
-                slots = None  # nothing pruned; skip the indirection
-
-        if slots is not None:
-            sub_last = gather_bank(bank_last, slots)
-            S, _positions = coarse_similarity_dispatch(
-                lm_last, lmflat_last, sub_last, t_last, size_last,
-                self.use_pallas)
-            nfeat_for_extract = sub_last.nfeat
-        else:
-            S, _positions = coarse_similarity_dispatch(
-                lm_last, lmflat_last, bank_last, t_last, size_last,
-                self.use_pallas)
-            nfeat_for_extract = bank_last.nfeat
+        S, _positions = coarse_similarity_dispatch(
+            lm_last, lmflat_last, bank_last, t_last, size_last,
+            self.use_pallas)
+        nfeat_for_extract = bank_last.nfeat
         total = int(S.shape[0]) * int(S.shape[1])
 
         buckets = [c for c in _CAND_BUCKETS if c <= total] or [total]
@@ -606,10 +557,6 @@ class Detector:
                         f"candidate overflow: {n_above} above threshold, "
                         f"cap {cap}; raise max_candidates for full parity")
                 break
-        if slots is not None:
-            # map sub-bank indices back to true template ids
-            k = jnp.where(valid, jnp.minimum(slots[k], K - 1), 0)
-
         for l in range(self.pyramid_levels - 2, -1, -1):
             k, x, y, sc, valid = self._refine_level(
                 lmflats[l][:2], banks[l], self.T_at_level[l], sizes[l],

@@ -97,8 +97,7 @@ def _spread_or(sp, T, axis):
 
 
 def _quant_spread_kernel(img_ref, thr_ref, out_ref, *, T, with_quant,
-                         T_bound=None, quant_ref=None, bound_ref=None,
-                         batched: bool = False):
+                         quant_ref=None, batched: bool = False):
     if batched:  # refs carry a leading size-1 batch block
         h, w = img_ref.shape[1:]
         img = img_ref[0].astype(jnp.int32)
@@ -162,11 +161,6 @@ def _quant_spread_kernel(img_ref, thr_ref, out_ref, *, T, with_quant,
     # --- spread: OR over the T x T window up-left (response.spread) ------
     write(out_ref, _spread_or(_spread_or(quant, T, 0), T, 1)
           .astype(jnp.uint8))
-    if T_bound is not None:
-        # wider spread for the branch-and-bound prefilter
-        # (response.build_bound_memories)
-        write(bound_ref, _spread_or(_spread_or(quant, T_bound, 0),
-                                    T_bound, 1).astype(jnp.uint8))
 
 
 def frontend_supported(shape, gray: bool, n_ori: int,
@@ -179,34 +173,27 @@ def frontend_supported(shape, gray: bool, n_ori: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("T", "T_bound", "with_quant",
-                                    "interpret"))
+                   static_argnames=("T", "with_quant", "interpret"))
 def quant_spread_pallas(img: jnp.ndarray, threshold_sq, T: int,
-                        T_bound: int | None = None,
                         with_quant: bool = False, interpret: bool = False):
     """spread(hysteresis_quantize(...), T) fused in one kernel.
 
     img: [H, W] uint8 gray (the gray path of quantizedOrientations,
     line2Dup.cpp:322-330; color/16-ori/PATCH_2843 use the XLA path).
-    Returns the [H, W] uint8 spread image; optional extra outputs (in this
-    order): the pre-spread quantized image (`with_quant`) and a second,
-    `T_bound`-wide spread for the prefilter bound memories.
+    Returns the [H, W] uint8 spread image; `with_quant` adds the
+    pre-spread quantized image as a second output.
     """
     h, w = img.shape
     thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1)
     out_shape = [jax.ShapeDtypeStruct((h, w), jnp.uint8)]
     if with_quant:
         out_shape.append(jax.ShapeDtypeStruct((h, w), jnp.uint8))
-    if T_bound is not None:
-        out_shape.append(jax.ShapeDtypeStruct((h, w), jnp.uint8))
 
     def body(img_ref, thr_ref, out_ref, *rest):
         rest = list(rest)
         _quant_spread_kernel(
             img_ref, thr_ref, out_ref, T=T, with_quant=with_quant,
-            T_bound=T_bound,
-            quant_ref=rest.pop(0) if with_quant else None,
-            bound_ref=rest.pop(0) if T_bound is not None else None)
+            quant_ref=rest.pop(0) if with_quant else None)
 
     outs = pl.pallas_call(
         body,

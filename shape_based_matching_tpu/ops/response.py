@@ -168,27 +168,3 @@ def build_linear_memories_fused(src: jnp.ndarray, weak_threshold, T: int,
     sp = quant_spread_pallas(src, jnp.float32(weak_threshold) ** 2, T,
                              interpret=interpret)
     return build_lm_from_spread(sp, T, n_ori)
-
-
-# Branch-and-bound prefilter decimation: the bound is evaluated every
-# BOUND_STRIDE-th T-cell with an accordingly wider spread. Stride 4 makes
-# the bound kernel ~1/16 the cost of full coarse scoring (the tile a
-# feature rotate touches shrinks 16x) while staying an exact upper bound.
-BOUND_STRIDE = 4
-
-
-@partial(jax.jit, static_argnames=("T", "n_ori"))
-def build_bound_memories(quantized: jnp.ndarray, T: int,
-                         n_ori: int = 8) -> jnp.ndarray:
-    """Linear memories for the branch-and-bound prefilter: a (S+1)T-wide
-    spread laid out on the S*T grid (S = BOUND_STRIDE).
-
-    Soundness: the feature lookup reads pixel (fx + S*T*j) — the plane
-    index keeps the sub-cell offset, no snapping — and the (S+1)T window
-    anchored there covers all S of the T-spread windows [fx + S*T*j + k*T,
-    +T), k < S. Adding orientation bits only raises the LUT response, so
-    the decimated max dominates every covered T-grid score. See
-    ops.similarity.bound_scores."""
-    s = BOUND_STRIDE
-    return linearize(response_maps(spread(quantized, (s + 1) * T), n_ori),
-                     s * T)

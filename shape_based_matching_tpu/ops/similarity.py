@@ -160,28 +160,6 @@ def coarse_similarity(lmflat: jnp.ndarray, bank: LevelBank, T: int,
     return S, positions
 
 
-def bound_scores(lm_bound: jnp.ndarray, lmflat_bound: jnp.ndarray,
-                 bank: LevelBank, T: int, size_wh,
-                 use_pallas: bool | None = None) -> jnp.ndarray:
-    """Branch-and-bound prefilter: per-template upper bound on the coarse
-    max score.
-
-    `lm_bound` holds responses of a spread-((S+1)T) image sampled on an
-    S*T grid, S = response.BOUND_STRIDE (see build_bound_memories for the
-    soundness argument: each decimated lookup's window covers all S
-    T-windows it stands for, and the LUT response is monotone in the
-    orientation bit set). Templates whose bound never exceeds the match
-    threshold provably produce no candidates and are pruned before full
-    coarse scoring (exact: surviving scores are unchanged).
-    """
-    from .response import BOUND_STRIDE
-
-    B, _ = coarse_similarity_dispatch(lm_bound, lmflat_bound, bank,
-                                      BOUND_STRIDE * T, size_wh, use_pallas,
-                                      mask_positions=False)
-    return jnp.max(B, axis=1)  # [K] raw upper bound
-
-
 def compact_indices(flags: jnp.ndarray, C: int):
     """Order-preserving compaction: indices of the first C set flags.
 
@@ -217,19 +195,6 @@ def compact_indices(flags: jnp.ndarray, C: int):
     lane = jnp.sum(lane_incl <= j[:, None], axis=1, dtype=jnp.int32)
     idx = jnp.where(got, blk_safe * 128 + lane, total)
     return idx, n_total
-
-
-@partial(jax.jit, static_argnames=("D",))
-def compact_survivors(bmax: jnp.ndarray, nfeat: jnp.ndarray, threshold,
-                      D: int):
-    """Indices of templates whose bound clears the threshold (padded to D,
-    fill = K); returns (slots [D], n_survivors)."""
-    K = bmax.shape[0]
-    score = bmax.astype(jnp.float32) * 100.0 / (4.0 * nfeat.astype(jnp.float32))
-    keep = score > threshold
-    idx, n = compact_indices(keep, D)
-    slots = jnp.minimum(idx, K).astype(jnp.int32)
-    return slots, n
 
 
 @partial(jax.jit, static_argnames=("T", "W", "C"))

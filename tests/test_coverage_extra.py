@@ -102,42 +102,6 @@ def test_rotate_scale_geometry_consistency():
         assert (outside == 200).sum() == 0, (angle, trect)
 
 
-def test_bound_scores_dominate(rng):
-    """Branch-and-bound prefilter soundness: the decimated-grid bound must
-    dominate the true per-template max coarse score (any violation could
-    prune a real match)."""
-    import jax.numpy as jnp
-
-    from shape_based_matching_tpu.ops.response import (build_bound_memories,
-                                                       build_linear_memories)
-    from shape_based_matching_tpu.ops.similarity import (bound_scores,
-                                                         coarse_similarity)
-
-    T = 8
-    h = w = 128
-    q = rng.randint(0, 256, (h, w), dtype=np.uint8)
-    qj = jnp.asarray(q)
-    lm = build_linear_memories(qj, T)
-    lmb = build_bound_memories(qj, T)
-    M = (h // T) * (w // T)
-    lmflat = jnp.concatenate([lm.reshape(-1), jnp.zeros((M,), jnp.uint8)])
-    mb = lmb.shape[-1]
-    lmbflat = jnp.concatenate([lmb.reshape(-1), jnp.zeros((mb,), jnp.uint8)])
-
-    templates = []
-    for _ in range(13):
-        feats = [(int(rng.randint(0, 48)), int(rng.randint(0, 48)),
-                  int(rng.randint(0, 8))) for _ in range(20)]
-        templates.append({"features": feats, "width": 48, "height": 48})
-    bank = similarity.pack_level_bank(templates)
-
-    S, _ = coarse_similarity(lmflat, bank, T, (w, h))
-    true_max = np.asarray(S).max(axis=1)
-    bmax = np.asarray(bound_scores(lmb, lmbflat, bank, T, (w, h),
-                                   use_pallas=False))
-    assert (bmax >= true_max).all(), (bmax, true_max)
-
-
 def test_crop_templates_negative_odd_min_keeps_c_remainder():
     """C's `min_x % 2 == 1` is FALSE for negative odd values (remainder -1),
     so the reference (line2Dup.cpp:137-140) does NOT even-align a negative

@@ -17,8 +17,8 @@ from shape_based_matching_tpu.ops.gradients import quantized_orientations_gray
 from shape_based_matching_tpu.ops.pallas.frontend_pallas import (
     frontend_supported, quant_spread_pallas)
 from shape_based_matching_tpu.ops.response import (
-    BOUND_STRIDE, build_bound_memories, build_linear_memories,
-    build_linear_memories_fused, build_lm_from_spread, spread)
+    build_linear_memories, build_linear_memories_fused,
+    build_lm_from_spread, spread)
 from shape_based_matching_tpu.utils.synthetic import (synthetic_scene,
                                                       synthetic_shape_image)
 
@@ -54,18 +54,6 @@ def test_linear_memories_parity(T):
     ref = np.asarray(build_linear_memories(g.angle, T))
     got = np.asarray(build_linear_memories_fused(
         jnp.asarray(img), 30.0, T, interpret=INTERPRET))
-    np.testing.assert_array_equal(got, ref)
-
-
-def test_bound_memories_parity():
-    T = 8
-    img = _images()["scene"]
-    g = quantized_orientations_gray(jnp.asarray(img), jnp.float32(30.0))
-    ref = np.asarray(build_bound_memories(g.angle, T))
-    _, spb = quant_spread_pallas(
-        jnp.asarray(img), jnp.float32(30.0) ** 2, T,
-        T_bound=(BOUND_STRIDE + 1) * T, interpret=INTERPRET)
-    got = np.asarray(build_lm_from_spread(spb, BOUND_STRIDE * T))
     np.testing.assert_array_equal(got, ref)
 
 

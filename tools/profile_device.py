@@ -23,6 +23,8 @@ def main():
         quantized_orientations_gray)
     from shape_based_matching_tpu.ops.response import (
         build_linear_memories, build_linear_memories_fused)
+    from shape_based_matching_tpu.ops.pallas.refine_pallas import (
+        refine_windows_pallas)
     from shape_based_matching_tpu.ops.similarity import (
         coarse_similarity_dispatch, distinct_templates, extract_candidates,
         gather_bank, refine_from_maps, use_pallas_default)
@@ -61,19 +63,20 @@ def main():
             (W // 2) // T_levels[1], CAP)
         if stage == 3:
             return (jnp.sum(x), n_above)
-        slots, slot_of_k, _nd = distinct_templates(k, valid, K, 64)
-        if stage == 4:
-            return (jnp.sum(slots), _nd)
         lm0 = build_lm(image, T_levels[0])
+        if stage == 4:
+            return (jnp.sum(x), jnp.sum(lm0.astype(jnp.int32)))
+        if fused:
+            k, x, y, sc, valid = refine_windows_pallas(
+                lm0, bank0, T_levels[0], (W, H), k, x, y, valid,
+                jnp.float32(85.0))
+            return (jnp.sum(x), jnp.sum(valid))
         lmflat0 = jnp.concatenate(
             [lm0.reshape(-1), jnp.zeros((lm0.shape[-1],), jnp.uint8)])
-        if stage == 5:
-            return (jnp.sum(slots), jnp.sum(lm0.astype(jnp.int32)))
+        slots, slot_of_k, _nd = distinct_templates(k, valid, K, 64)
         sub = gather_bank(bank0, slots)
         Sfull, _ = coarse_similarity_dispatch(
             lm0, lmflat0, sub, T_levels[0], (W, H), mask_positions=False)
-        if stage == 6:
-            return (jnp.sum(Sfull.astype(jnp.int32)),)
         k, x, y, sc, valid = refine_from_maps(
             Sfull, slot_of_k, bank0, T_levels[0], (W, H), k, x, y, valid,
             jnp.float32(85.0))
@@ -99,10 +102,8 @@ def main():
         "L1 frontend (pyrdown+lm)",
         "+ coarse @L1",
         "+ extract_candidates",
-        "+ distinct_templates",
         "+ L0 frontend (lm)",
-        "+ fine maps (64 slots)",
-        "+ refine_from_maps",
+        "+ window refinement",
     ]
     prev = 0.0
     for i, name in enumerate(names, 1):
