@@ -49,10 +49,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..similarity import LevelBank
 
 
+_WINDOW_GROUP = 8  # candidates per grid program (amortizes per-program
+                   # SMEM/output DMAs — a 1-candidate grid is DMA-bound)
+
+
 def _window_kernel(meta_ref, ext_ref, out_ref):
-    """meta_ref: SMEM [1, 2, N+1] (rows, cols; slot [0,0,N] = live feature
-    count). ext_ref: VMEM [R, Wext] u8 flat-layout byte image with
-    continuation columns + zero rows. out_ref: VMEM [1, 16, 16] i32.
+    """meta_ref: SMEM [1, G, 2, N+1] (rows, cols; slot [., ., 0, N] = live
+    feature count). ext_ref: VMEM [R, Wext] u8 flat-layout byte image with
+    continuation columns + zero rows. out_ref: VMEM [1, G, 16, 16] i32.
 
     Mosaic only allows (8, 128)-aligned dynamic VMEM slices, so each
     feature loads an aligned (24, 256) slab covering its window
@@ -60,13 +64,12 @@ def _window_kernel(meta_ref, ext_ref, out_ref):
     cols dc..dc+15 <= 142) and extracts the (16, 16) with one dynamic
     sublane roll plus the lane-rotate/carry-select dance of the coarse
     kernel (dynamic lane rotates are legal on exactly-128 lanes)."""
-    n_feats = meta_ref[0, 0, meta_ref.shape[2] - 1]
-
+    G = meta_ref.shape[1]
     col16 = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 1)
 
-    def one(n):
-        r0 = meta_ref[0, 0, n]
-        c0 = meta_ref[0, 1, n]
+    def one(g, n):
+        r0 = meta_ref[0, g, 0, n]
+        c0 = meta_ref[0, g, 1, n]
         dr = r0 % 8
         dc = c0 % 128
         # written as (x // k) * k so Mosaic can prove alignment
@@ -81,20 +84,127 @@ def _window_kernel(meta_ref, ext_ref, out_ref):
     # Feature slices are latency-bound; unrolling overlaps them.
     UNROLL = 4
 
-    def body(i, acc):
-        base = i * UNROLL
-        for u in range(UNROLL):
-            acc = acc + one(base + u)
-        return acc
+    for g in range(G):
+        n_feats = meta_ref[0, g, 0, meta_ref.shape[3] - 1]
 
-    acc = jax.lax.fori_loop(
-        0, n_feats // UNROLL, body, jnp.zeros((16, 16), jnp.int32))
+        def body(i, acc, g=g):
+            base = i * UNROLL
+            for u in range(UNROLL):
+                acc = acc + one(g, base + u)
+            return acc
 
-    def tail(n, acc):
-        return acc + one(n)
+        acc = jax.lax.fori_loop(
+            0, n_feats // UNROLL, body, jnp.zeros((16, 16), jnp.int32))
 
-    acc = jax.lax.fori_loop((n_feats // UNROLL) * UNROLL, n_feats, tail, acc)
-    out_ref[0] = acc
+        def tail(n, acc, g=g):
+            return acc + one(g, n)
+
+        acc = jax.lax.fori_loop((n_feats // UNROLL) * UNROLL, n_feats,
+                                tail, acc)
+        out_ref[0, g] = acc
+
+
+def _map_window_kernel(meta_ref, ext_ref, out_ref):
+    """Extract one 16x16 window per candidate from fine score maps.
+
+    meta_ref: SMEM [1, 1, 2] (row, col of the window origin in the
+    extended map image). ext_ref: VMEM [R, Wext] i32 — the [D, M] score maps as a
+    [D*H, W] image with 16 continuation columns (flat row wrap) and 16
+    zero rows. out_ref: VMEM [1, 16, 16] i32. Same aligned-slab dance as
+    _window_kernel, one slab per candidate."""
+    r0 = meta_ref[0, 0, 0]
+    c0 = meta_ref[0, 0, 1]
+    dr = r0 % 8
+    dc = c0 % 128
+    slab = ext_ref[pl.ds((r0 // 8) * 8, 24), pl.ds((c0 // 128) * 128, 256)]
+    a = pltpu.roll(slab[:, :128], jax.lax.rem(24 - dr, 24), axis=0)
+    b = pltpu.roll(slab[:, 128:], jax.lax.rem(24 - dr, 24), axis=0)
+    ar = pltpu.roll(a, jax.lax.rem(128 - dc, 128), axis=1)
+    br = pltpu.roll(b, jax.lax.rem(128 - dc, 128), axis=1)
+    col16 = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 1)
+    out_ref[0] = jnp.where(col16 < 128 - dc, ar[:16, :16], br[:16, :16])
+
+
+@functools.partial(jax.jit, static_argnames=("T", "size_wh", "interpret"))
+def refine_from_maps_pallas(Sfull: jnp.ndarray, slot_of_k: jnp.ndarray,
+                            bank: LevelBank, T: int, size_wh,
+                            k: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                            valid: jnp.ndarray, threshold,
+                            interpret: bool = False):
+    """Drop-in for ops.similarity.refine_from_maps — bit-identical — with
+    the [C,16,16] window gather done by _map_window_kernel instead of an
+    XLA flat gather (which lowers to ~65k serial scalar loads per frame,
+    measured 1.2 ms vs ~0.01 ms here).
+
+    Composed with the nfeat-aware packed coarse kernel over the distinct
+    candidate templates this is the fast refinement path: full-map cost
+    scales with the ACTUAL distinct-template count (~tens), and the
+    extract is one slab per candidate.
+    """
+    w_img, h_img = size_wh
+    W, H = w_img // T, h_img // T
+    M = W * H
+    D = Sfull.shape[0]
+    border = 8 * T
+    offset = T // 2 + (T % 2 - 1)
+
+    width_k = bank.width[k]
+    height_k = bank.height[k]
+    nfeat_k = bank.nfeat[k].astype(jnp.float32)
+    max_x = w_img - width_k - border
+    max_y = h_img - height_k - border
+    cx = jnp.minimum(jnp.maximum(x * 2 + 1, border), max_x)
+    cy = jnp.minimum(jnp.maximum(y * 2 + 1, border), max_y)
+
+    wx = cx // T - 8
+    wy = cy // T - 8
+    slot = slot_of_k[k]
+    valid = valid & (slot >= 0)
+    r = jnp.maximum(slot, 0) * H + wy
+    meta = jnp.stack([r, wx], axis=1).astype(jnp.int32)[:, None, :]  # [C,1,2]
+
+    flat2d = Sfull.reshape(D * H, W)
+    below = jnp.concatenate(
+        [flat2d[1:], jnp.zeros((1, W), jnp.int32)], axis=0)
+    ext = jnp.concatenate([flat2d, below[:, :16]], axis=1)
+    w_pad = (((W + 14) // 128) + 2) * 128 - (W + 16)
+    ext = jnp.pad(ext, ((0, 32), (0, w_pad)))
+
+    Ccand = meta.shape[0]
+    R, Wext = ext.shape
+    patches = pl.pallas_call(
+        _map_window_kernel,
+        grid=(Ccand,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, Wext), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 16, 16), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Ccand, 16, 16), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(meta, ext)
+
+    pf = patches.reshape(Ccand, 256)
+    best = jnp.argmax(pf, axis=1).astype(jnp.int32)
+    raw = jnp.take_along_axis(pf, best[:, None], axis=1)[:, 0]
+    sim = raw.astype(jnp.float32) * 100.0 / (4.0 * nfeat_k)
+    nx = (wx + best % 16) * T + offset
+    ny = (wy + best // 16) * T + offset
+    nvalid = valid & (sim >= threshold)
+    return k, nx, ny, sim, nvalid
+
+
+def map_refine_supported(size_wh, T: int, D: int,
+                         budget_bytes: int = 40 * 2**20) -> bool:
+    """ext (i32) must fit VMEM with vmap double-buffer headroom."""
+    w_img, h_img = size_wh
+    W, H = w_img // T, h_img // T
+    return 4 * (D * H + 32) * (W + 16) <= budget_bytes
 
 
 def window_refine_supported(size_wh, T: int, n_ori: int = 8,
@@ -107,11 +217,13 @@ def window_refine_supported(size_wh, T: int, n_ori: int = 8,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("T", "size_wh", "interpret"))
+                   static_argnames=("T", "size_wh", "interpret",
+                                    "skip_invalid"))
 def refine_windows_pallas(lm: jnp.ndarray, bank: LevelBank, T: int, size_wh,
                           k: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                           valid: jnp.ndarray, threshold,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          skip_invalid: bool = False):
     """Drop-in replacement for one pyramid refinement level — exact
     (bit-identical) vs ops.similarity.refine_candidates for ALL banks,
     including pathological ones (templates wider than image - 16T).
@@ -119,6 +231,11 @@ def refine_windows_pallas(lm: jnp.ndarray, bank: LevelBank, T: int, size_wh,
     `lm` is the fine level's [n_ori, T*T, M] linear-memory stack; `k, x,
     y, valid` the candidate arrays in the coarser level's coordinates.
     Returns (k, nx, ny, sim, nvalid).
+
+    `skip_invalid=True` spends no kernel work on valid=False candidate
+    slots (their k/x/y/sim outputs become don't-care values, nvalid stays
+    False) — candidate arrays are typically half padding, so the match
+    paths use this; parity tests compare the exact default.
     """
     w_img, h_img = size_wh
     W, H = w_img // T, h_img // T
@@ -146,13 +263,22 @@ def refine_windows_pallas(lm: jnp.ndarray, bank: LevelBank, T: int, size_wh,
     plane = bank.label[k] * (T * T) + (fy % T) * T + (fx % T)
     r = jnp.where(inb, plane * H + fy // T, C * H)
     c = jnp.where(inb, fx // T, 0)
-    # invalid candidates are computed too (cheap) so every output slot is
-    # bit-identical to refine_candidates, not just the valid ones
-    nf = bank.nfeat[k].astype(jnp.int32)
+    if skip_invalid:
+        nf = jnp.where(valid, bank.nfeat[k], 0).astype(jnp.int32)
+    else:
+        # invalid candidates are computed too so every output slot is
+        # bit-identical to refine_candidates, not just the valid ones
+        nf = bank.nfeat[k].astype(jnp.int32)
 
     rows = jnp.concatenate([r, nf[:, None]], axis=1)
     cols = jnp.concatenate([c, jnp.zeros_like(nf)[:, None]], axis=1)
     meta = jnp.stack([rows, cols], axis=1).astype(jnp.int32)  # [Cc,2,N+1]
+    # pad candidates to a _WINDOW_GROUP multiple (pad slots: nfeat 0)
+    Cc = meta.shape[0]
+    G = _WINDOW_GROUP
+    Cp = -(-Cc // G) * G
+    meta = jnp.pad(meta, ((0, Cp - Cc), (0, 0), (0, 0)))
+    meta = meta.reshape(Cp // G, G, 2, meta.shape[2])
 
     # flat-layout byte image + 16 continuation columns, padded for the
     # kernel's aligned slab loads: rows to r0_max + 24 (the 16-row flat
@@ -165,26 +291,26 @@ def refine_windows_pallas(lm: jnp.ndarray, bank: LevelBank, T: int, size_wh,
     w_pad = (((W + 14) // 128) + 2) * 128 - (W + 16)
     ext = jnp.pad(ext, ((0, 32), (0, w_pad)))
 
-    Ccand, _, N1 = meta.shape
+    N1 = meta.shape[3]
     R, Wext = ext.shape
     patches = pl.pallas_call(
         _window_kernel,
-        grid=(Ccand,),
+        grid=(Cp // G,),
         in_specs=[
-            pl.BlockSpec((1, 2, N1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, G, 2, N1), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((R, Wext), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 16, 16), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, G, 16, 16), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Ccand, 16, 16), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Cp // G, G, 16, 16), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(meta, ext)
 
-    pf = patches.reshape(Ccand, 256)
+    pf = patches.reshape(Cp, 256)[:Cc]
     best = jnp.argmax(pf, axis=1).astype(jnp.int32)  # first max (C++ >)
     raw = jnp.take_along_axis(pf, best[:, None], axis=1)[:, 0]
     sim = raw.astype(jnp.float32) * 100.0 / (4.0 * nfeat_k)

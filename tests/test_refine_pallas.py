@@ -103,6 +103,62 @@ def test_window_refine_16ori_and_wide(rng):
     _assert_equal(lm, lmflat, bank, T, (hw, hw), k, x, y, valid, 50.0)
 
 
+def test_map_window_refine_equals_xla(rng):
+    """refine_from_maps_pallas (map-window extract kernel) vs the XLA
+    refine_from_maps, including slot_of_k == -1 overflow-invalidated
+    candidates (distinct cap smaller than the true distinct count)."""
+    from shape_based_matching_tpu.ops.pallas.refine_pallas import (
+        refine_from_maps_pallas)
+    from shape_based_matching_tpu.ops.similarity import (
+        coarse_similarity, distinct_templates, gather_bank,
+        refine_from_maps)
+
+    T, hw = 4, 256
+    templates = []
+    for _ in range(17):
+        n = int(rng.randint(5, 64))
+        feats = [(int(rng.randint(0, 65)), int(rng.randint(0, 65)),
+                  int(rng.randint(0, 8))) for _ in range(n)]
+        templates.append({"features": feats, "width": 64, "height": 64})
+    lm, lmflat, bank, k, x, y, valid = _random_case(
+        rng, 8, hw, hw, T, templates)
+    slots, slot_of_k, _nd = distinct_templates(k, valid, 17, 8)
+    sub = gather_bank(bank, slots)
+    Sfull, _ = coarse_similarity(lmflat, sub, T, (hw, hw),
+                                 mask_positions=False)
+    r0 = refine_from_maps(Sfull, slot_of_k, bank, T, (hw, hw), k, x, y,
+                          valid, jnp.float32(60.0))
+    r1 = refine_from_maps_pallas(Sfull, slot_of_k, bank, T, (hw, hw), k, x,
+                                 y, valid, jnp.float32(60.0),
+                                 interpret=not ON_TPU)
+    for a, b, name in zip(r0, r1, ("k", "x", "y", "sim", "valid")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def test_window_refine_skip_invalid_matches_on_valid_rows(rng):
+    """skip_invalid=True must agree with the exact mode on every
+    valid=True row (invalid rows are don't-care by contract)."""
+    T, hw = 4, 256
+    templates = []
+    for _ in range(9):
+        feats = [(int(rng.randint(0, 65)), int(rng.randint(0, 65)),
+                  int(rng.randint(0, 8))) for _ in range(30)]
+        templates.append({"features": feats, "width": 64, "height": 64})
+    lm, lmflat, bank, k, x, y, valid = _random_case(
+        rng, 8, hw, hw, T, templates)
+    r0 = refine_windows_pallas(lm, bank, T, (hw, hw), k, x, y, valid,
+                               jnp.float32(60.0), interpret=not ON_TPU)
+    r1 = refine_windows_pallas(lm, bank, T, (hw, hw), k, x, y, valid,
+                               jnp.float32(60.0), interpret=not ON_TPU,
+                               skip_invalid=True)
+    v = np.asarray(valid)
+    for a, b, name in zip(r0, r1, ("k", "x", "y", "sim", "valid")):
+        np.testing.assert_array_equal(np.asarray(a)[v], np.asarray(b)[v],
+                                      err_msg=name)
+    np.testing.assert_array_equal(np.asarray(r0[4]), np.asarray(r1[4]))
+
+
 def test_window_refine_supported_gate():
     assert window_refine_supported((1024, 1024), 4)
     assert window_refine_supported((1024, 1024), 4, n_ori=16)
