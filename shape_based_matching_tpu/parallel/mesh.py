@@ -34,7 +34,8 @@ from ..ops.gradients import (quantized_orientations_color,
 from ..ops.response import build_linear_memories
 from ..ops.similarity import (LevelBank, coarse_similarity_dispatch,
                               distinct_templates, extract_candidates,
-                              gather_bank, refine_from_maps)
+                              gather_bank, refine_from_maps,
+                              use_pallas_default)
 from ..ops.filters import pyr_down_u8
 
 
@@ -84,17 +85,36 @@ def _local_match(images, banks, T_levels, sizes, weak_threshold, threshold,
     t_last = T_levels[-1]
     w_last = sizes[-1][0] // t_last
 
+    # Same kernel dispatch as the single-chip Detector: Pallas on TPU
+    # shards (fused frontend + window refinement), XLA elsewhere (the
+    # virtual-CPU test mesh). Results are bit-identical either way.
+    use_pallas = use_pallas_default()
+
     def one_image(img):
+        from ..ops.pallas.frontend_pallas import frontend_supported
+        from ..ops.pallas.refine_pallas import (refine_windows_pallas,
+                                                window_refine_supported)
+        from ..ops.response import build_lm_from_spread
+        from ..ops.pallas.frontend_pallas import quant_spread_pallas
+
         lms = []
         src = img
         for l in range(levels):
             if l > 0:
                 src = pyr_down_u8(src)
-            if gray:
-                g = quantized_orientations_gray(src, weak_threshold, n_ori)
+            if use_pallas and frontend_supported(src.shape, gray, n_ori,
+                                                 False, False):
+                sp = quant_spread_pallas(src, weak_threshold ** 2,
+                                         T_levels[l])
+                lm = build_lm_from_spread(sp, T_levels[l], n_ori)
             else:
-                g = quantized_orientations_color(src, weak_threshold, n_ori)
-            lm = build_linear_memories(g.angle, T_levels[l], n_ori)
+                if gray:
+                    g = quantized_orientations_gray(src, weak_threshold,
+                                                    n_ori)
+                else:
+                    g = quantized_orientations_color(src, weak_threshold,
+                                                     n_ori)
+                lm = build_linear_memories(g.angle, T_levels[l], n_ori)
             m = lm.shape[-1]
             lmflat = jnp.concatenate([lm.reshape(-1),
                                       jnp.zeros((m,), jnp.uint8)])
@@ -106,6 +126,13 @@ def _local_match(images, banks, T_levels, sizes, weak_threshold, threshold,
             S, banks[-1].nfeat, threshold, t_last, w_last, cand_cap)
         n_distinct_max = jnp.int32(0)
         for l in range(levels - 2, -1, -1):
+            if use_pallas and window_refine_supported(
+                    sizes[l], T_levels[l], n_ori):
+                # no distinct-template cap on this path
+                k, x, y, sc, valid = refine_windows_pallas(
+                    lms[l][0], banks[l], T_levels[l], sizes[l], k, x, y,
+                    valid, threshold, skip_invalid=True)
+                continue
             slots, slot_of_k, nd = distinct_templates(k, valid, K_loc,
                                                       distinct_cap)
             n_distinct_max = jnp.maximum(n_distinct_max, nd)
