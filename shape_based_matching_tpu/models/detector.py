@@ -383,7 +383,29 @@ class Detector:
         `source` is a uint8 [H, W] gray or [H, W, 3] color array whose
         dimensions must be divisible by T * 2^(levels-1) (the reference
         asserts the same via computeResponseMaps/linearize).
+
+        Fast path: the whole per-class match is ONE device program (the
+        batched path at B=1) — a handful of dispatches instead of the
+        per-level host-sync escalation loop, which matters when dispatch
+        latency is non-trivial. Frames that overflow the static candidate
+        caps re-run through the exact escalating path below, so results
+        are identical.
         """
+        source = np.asarray(source)
+        if max_candidates is None:
+            return self.match_batch(source[None], threshold, class_ids,
+                                    None if mask is None
+                                    else np.asarray(mask)[None])[0]
+        return self._match_escalating(source, threshold, class_ids, mask,
+                                      max_candidates)
+
+    def _match_escalating(self, source, threshold: float, class_ids=None,
+                          mask=None,
+                          max_candidates: int | None = None) -> list[Match]:
+        """Exact escalating match: host loops grow the candidate /
+        distinct-template caps until nothing overflows (also the fallback
+        for match_batch overflow frames, and the path honoring an explicit
+        `max_candidates`)."""
         source = np.asarray(source)
         self._validate_size(source.shape[:2])
         gray = source.ndim == 2
@@ -502,10 +524,9 @@ class Detector:
                 if overflow[0]:
                     # rare: exceed static caps -> exact escalating path
                     frame_matches.extend(
-                        self.match(np.asarray(sources[b]), threshold,
-                                   [class_id],
-                                   np.asarray(masks[b]) if has_mask
-                                   else None))
+                        self._match_escalating(
+                            np.asarray(sources[b]), threshold, [class_id],
+                            np.asarray(masks[b]) if has_mask else None))
                     continue
                 sc = sc_bits.view(np.float32)
                 for i in np.nonzero(valid)[0]:

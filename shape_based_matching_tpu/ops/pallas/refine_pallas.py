@@ -31,9 +31,11 @@ zero rows reproduce the flat buffer's M-byte zero pad. Invalid / rotated
 off-image features are routed to those zero rows (refine_candidates
 semantics, which the C++'s in-image features never trigger).
 
-Grid is (Ccand,); each program accumulates one candidate's [16, 16] i32
-patch over its live features (SMEM meta carries per-feature row/col and
-the live count — padded candidate slots cost nothing). The argmax /
+Grid is (Ccand / 8,) — 8 candidates per program (a 1-candidate grid is
+per-program-DMA-bound); each program accumulates its candidates' [16, 16]
+i32 patches over their live features (SMEM meta carries per-feature
+row/col and the live count — padded candidate slots cost nothing, and
+skip_invalid=True zeroes the count for valid=False slots). The argmax /
 score epilogue runs in XLA on the [Ccand, 256] result.
 """
 

@@ -95,7 +95,9 @@ def test_match_batch_equals_per_frame_match():
         synthetic_scene(256, 256, templ_img, n_instances=1, seed=s)
         for s in (3, 4, 5, 7)
     ])
-    want = [det.match(f, 80.0) for f in frames]
+    # reference side: the exact escalating path (match() itself now
+    # delegates to the batched program, so compare against the host loop)
+    want = [det._match_escalating(f, 80.0) for f in frames]
     got = det.match_batch(frames, 80.0)
     assert len(got) == len(want)
     for b, (g, w) in enumerate(zip(got, want)):
