@@ -435,10 +435,15 @@ def cmd_preprocess(args) -> int:
 def main(argv=None) -> int:
     # Persistent compile cache: TPU compiles are expensive (seconds to
     # minutes via remote-compile tunnels); warm runs of the same shapes
-    # then skip compilation entirely.
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "sbm_jax_cache"))
+    # then skip compilation entirely. jax is already imported by the
+    # package, so the env var would be ignored — set the config directly.
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR") is None:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "sbm_jax_cache"))
     ap = argparse.ArgumentParser(
         prog="shape_based_matching_tpu",
         description="TPU-native LINE-2D shape-based matching")

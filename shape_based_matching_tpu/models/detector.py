@@ -30,7 +30,9 @@ from ..ops.similarity import (LevelBank, coarse_similarity_dispatch,
                               gather_bank, pack_level_bank,
                               refine_candidates, refine_from_maps,
                               use_pallas_default)
-from ..ops.pallas.refine_pallas import (refine_windows_pallas,
+from ..ops.pallas.refine_pallas import (map_refine_supported,
+                                        refine_from_maps_pallas,
+                                        refine_windows_pallas,
                                         window_refine_supported)
 from ..utils.yaml_io import (class_file_path, dump_opencv_yaml,
                              load_opencv_yaml)
@@ -207,7 +209,7 @@ def _match_batch_class(lms, banks, threshold, T: tuple, levels: int,
         overflow = n_above > cand_cap
         for l in range(levels - 2, -1, -1):
             lm_l, lmflat_l = lm_tuple[l][0], lm_tuple[l][1]
-            if window_ok and window_ok[l]:
+            if window_ok and window_ok[l] == "window":
                 k, x, y, sc, valid = refine_windows_pallas(
                     lm_l, banks[l], T[l], sizes[l], k, x, y, valid,
                     threshold, skip_invalid=True)
@@ -223,9 +225,14 @@ def _match_batch_class(lms, banks, threshold, T: tuple, levels: int,
                 Sfull, _ = coarse_similarity_dispatch(
                     lm_l, lmflat_l, sub, T[l], sizes[l], use_pallas,
                     mask_positions=False)
-                k, x, y, sc, valid = refine_from_maps(
-                    Sfull, slot_of_k, banks[l], T[l], sizes[l],
-                    k, x, y, valid, threshold)
+                if window_ok and window_ok[l] == "map":
+                    k, x, y, sc, valid = refine_from_maps_pallas(
+                        Sfull, slot_of_k, banks[l], T[l], sizes[l],
+                        k, x, y, valid, threshold)
+                else:
+                    k, x, y, sc, valid = refine_from_maps(
+                        Sfull, slot_of_k, banks[l], T[l], sizes[l],
+                        k, x, y, valid, threshold)
         return k, x, y, sc, valid, overflow
 
     return jax.vmap(per_frame)(lms)
@@ -486,11 +493,23 @@ class Detector:
                                       self.T_at_level[l])
                 for l in range(self.pyramid_levels - 1)
             )
-            window_ok = tuple(
-                use_pallas and window_refine_supported(
-                    sizes[l], self.T_at_level[l], self.num_orientations)
-                for l in range(self.pyramid_levels - 1)
-            )
+            def _refine_mode(l):
+                if not use_pallas:
+                    return ""
+                if (cand_cap < 1024 or pathological[l]) and \
+                        window_refine_supported(sizes[l],
+                                                self.T_at_level[l],
+                                                self.num_orientations):
+                    return "window"
+                if (not pathological[l]
+                        and map_refine_supported(
+                            sizes[l], self.T_at_level[l],
+                            min(int(distinct_cap), K))):
+                    return "map"
+                return ""
+
+            window_ok = tuple(_refine_mode(l)
+                              for l in range(self.pyramid_levels - 1))
             k, x, y, sc, valid, overflow = _match_batch_class(
                 lms, tuple(banks), jnp.float32(threshold),
                 self.T_at_level, self.pyramid_levels, use_pallas, sizes,
@@ -500,6 +519,8 @@ class Detector:
 
         if not as_matches:
             return packed
+        if not packed:  # no trained classes (or class_ids filtered empty)
+            return [[] for _ in range(B)]
 
         # ONE device->host transfer for everything: [n_cls, B, 6, C] i32
         # (float scores bitcast). Per-array pulls would pay the transfer
@@ -611,12 +632,21 @@ class Detector:
         w_img, h_img = size_wh
         use_pallas = (self.use_pallas if self.use_pallas is not None
                       else use_pallas_default())
-        if use_pallas and window_refine_supported(
-                size_wh, T, self.num_orientations):
+        # O(candidates) window kernel wins below ~1024 candidates; above
+        # that the distinct-template map pass amortizes better (its cost
+        # is ~ distinct count, not candidate count).
+        big_caps = int(k.shape[0]) >= 1024
+        if (use_pallas and not big_caps and window_refine_supported(
+                size_wh, T, self.num_orientations)):
             return refine_windows_pallas(lm, bank, T, size_wh, k, x, y,
                                          valid, jnp.float32(threshold),
                                          skip_invalid=True)
         if self._is_pathological(bank, size_wh, T):
+            if use_pallas and window_refine_supported(
+                    size_wh, T, self.num_orientations):
+                return refine_windows_pallas(lm, bank, T, size_wh, k, x, y,
+                                             valid, jnp.float32(threshold),
+                                             skip_invalid=True)
             return refine_candidates(lmflat, bank, T, size_wh, k, x, y,
                                      valid, jnp.float32(threshold))
 
@@ -630,6 +660,11 @@ class Detector:
         Sfull, _ = coarse_similarity_dispatch(
             lm, lmflat, sub, T, size_wh, self.use_pallas,
             mask_positions=False)
+        if use_pallas and map_refine_supported(size_wh, T,
+                                               int(slots.shape[0])):
+            return refine_from_maps_pallas(Sfull, slot_of_k, bank, T,
+                                           size_wh, k, x, y, valid,
+                                           jnp.float32(threshold))
         return refine_from_maps(Sfull, slot_of_k, bank, T, size_wh,
                                 k, x, y, valid, jnp.float32(threshold))
 

@@ -203,19 +203,25 @@ def refine_from_maps_pallas(Sfull: jnp.ndarray, slot_of_k: jnp.ndarray,
 
 def map_refine_supported(size_wh, T: int, D: int,
                          budget_bytes: int = 40 * 2**20) -> bool:
-    """ext (i32) must fit VMEM with vmap double-buffer headroom."""
+    """ext (i32) must fit VMEM with vmap double-buffer headroom. Uses the
+    kernel's ACTUAL padded footprint (lanes round up to the 128-aligned
+    slab reach), not the logical W+16."""
     w_img, h_img = size_wh
     W, H = w_img // T, h_img // T
-    return 4 * (D * H + 32) * (W + 16) <= budget_bytes
+    w_ext = (((W + 14) // 128) + 2) * 128
+    return 4 * (D * H + 32) * w_ext <= budget_bytes
 
 
 def window_refine_supported(size_wh, T: int, n_ori: int = 8,
                             budget_bytes: int = 40 * 2**20) -> bool:
-    """ext buffer must fit VMEM (with headroom for vmap double-buffering)."""
+    """ext buffer must fit VMEM (with headroom for vmap double-buffering).
+    Uses the kernel's ACTUAL padded footprint (32 appended rows, lanes
+    rounded up to the 128-aligned slab reach)."""
     w_img, h_img = size_wh
     W, H = w_img // T, h_img // T
     C = n_ori * T * T
-    return (C * H + 16) * (W + 16) <= budget_bytes
+    w_ext = (((W + 14) // 128) + 2) * 128
+    return (C * H + 32) * w_ext <= budget_bytes
 
 
 @functools.partial(jax.jit,

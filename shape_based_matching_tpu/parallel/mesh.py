@@ -94,8 +94,7 @@ def _local_match(images, banks, T_levels, sizes, weak_threshold, threshold,
         from ..ops.pallas.frontend_pallas import frontend_supported
         from ..ops.pallas.refine_pallas import (refine_windows_pallas,
                                                 window_refine_supported)
-        from ..ops.response import build_lm_from_spread
-        from ..ops.pallas.frontend_pallas import quant_spread_pallas
+        from ..ops.response import build_linear_memories_fused
 
         lms = []
         src = img
@@ -104,9 +103,8 @@ def _local_match(images, banks, T_levels, sizes, weak_threshold, threshold,
                 src = pyr_down_u8(src)
             if use_pallas and frontend_supported(src.shape, gray, n_ori,
                                                  False, False):
-                sp = quant_spread_pallas(src, weak_threshold ** 2,
-                                         T_levels[l])
-                lm = build_lm_from_spread(sp, T_levels[l], n_ori)
+                lm = build_linear_memories_fused(src, weak_threshold,
+                                                 T_levels[l], n_ori)
             else:
                 if gray:
                     g = quantized_orientations_gray(src, weak_threshold,

@@ -119,6 +119,22 @@ def test_match_batch_overflow_falls_back_exactly():
         assert _match_key_list(g) == _match_key_list(w), f"frame {b}"
 
 
+def test_match_no_trained_classes_returns_empty():
+    """match()/match_batch on an untrained detector (or with class_ids
+    that filter to nothing) must return empty lists, not crash (the
+    reference's matchClass loop simply runs zero iterations)."""
+    from shape_based_matching_tpu import Detector
+
+    det = Detector(num_features=16, T=(4, 8))
+    img = np.zeros((64, 64), np.uint8)
+    assert det.match(img, 90.0) == []
+    assert det.match_batch(img[None], 90.0) == [[]]
+
+    det2, _ = build_rotated_detector(num_templates=2, num_features=16,
+                                     size=64)
+    assert det2.match(img, 90.0, class_ids=["no-such-class"]) == []
+
+
 def test_match_batch_packed_output():
     det, templ_img = build_rotated_detector(num_templates=4,
                                             num_features=48, size=128)
