@@ -146,9 +146,8 @@ def _batch_pyramid(sources, masks, gray: bool, has_mask: bool, T: tuple,
                    patch_2843: bool = False, fused: bool = False):
     """Frame-batched lm pyramid: one program for B frames (no bound maps).
 
-    The fused Pallas frontend cannot be vmapped (whole-image blocks), so
-    the batch path grids over frames inside the kernel
-    (quant_spread_pallas_batched) and vmaps only the XLA pieces."""
+    The fused Pallas frontend runs as ONE program gridded over frames
+    (quant_spread_pallas_batched); only the XLA pieces are vmapped."""
     from ..ops.pallas.frontend_pallas import (frontend_supported,
                                               quant_spread_pallas_batched)
     from ..ops.response import build_lm_from_spread

@@ -215,9 +215,9 @@ def quant_spread_pallas_batched(imgs: jnp.ndarray, threshold_sq, T: int,
                                 interpret: bool = False) -> jnp.ndarray:
     """Frame-batched quant_spread_pallas: [B, H, W] -> [B, H, W].
 
-    Grid over the batch dim (one frontend program per frame) — pallas_call
-    under jax.vmap cannot lower this kernel's whole-image blocks, so the
-    batch path calls this variant directly instead of vmapping."""
+    Grid over the batch dim (one frontend program per frame) — a single
+    pallas_call for the whole batch instead of vmapping the single-frame
+    kernel (one program, explicit per-frame blocks)."""
     b, h, w = imgs.shape
     thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1)
 

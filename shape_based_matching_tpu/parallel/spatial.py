@@ -1,0 +1,217 @@
+"""Spatial scale-out: one huge frame sharded by rows across chips.
+
+SURVEY.md §5 maps the reference's "long-context" analog (image area x
+template count) to spatial sharding: for frames too large for one chip's
+HBM/latency budget, shard the IMAGE across the mesh and all-gather only
+the candidate matches (the reference — a single-threaded C++ library with
+an OpenMP template loop, line2Dup.cpp:1166-1169 — has no equivalent).
+
+Design (exactness-first):
+
+* Each of the n shards owns a disjoint band of Hs = H/n rows; its device
+  receives an OVERLAPPING tile of Hs + 2*halo rows (clipped to the image:
+  the first/last tiles start/end exactly at the image border, so OpenCV
+  border semantics — BORDER_REPLICATE blur/sobel, the 1-px zeroed
+  quantization border (line2Dup.cpp:229-236) — land on the true image
+  edges with no kernel changes). The tile scatter is the data-loader's
+  overlapping DMA; no inter-chip traffic is needed for pixels.
+* Every shard runs the COMPLETE match pipeline on its tile (pyramid,
+  coarse bank scoring, candidate extraction, pyramid refinement) with
+  the very same kernels as the single-chip path, then keeps only the
+  candidates whose coarse origin falls in its own band (halo candidates
+  are duplicates of a neighbor's) and translates y to frame coordinates.
+* Candidate lists ride ICI via `all_gather`; scores/positions are
+  bit-identical to the single-device full-frame match for every match
+  whose geometry stays `halo` away from the band edges — the halo
+  default covers the frontend support (blur/sobel/vote/spread/pyrDown,
+  ~48 rows), the refinement reach (16x16 window around the doubled
+  origin plus the border clamp, 8*T_0 rows) and the template height, so
+  in practice the equality is exact (asserted by
+  tests/test_spatial.py against Detector.match).
+
+The halo must satisfy H >= Hs + 2*halo (tiles are in-image crops); both
+Hs and halo must be multiples of the pyramid stride so every tile keeps
+the kernels' tiling contract.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.similarity import (LevelBank, coarse_similarity_dispatch,
+                              distinct_templates, extract_candidates,
+                              gather_bank, refine_from_maps,
+                              use_pallas_default)
+
+
+def make_spatial_mesh(n_shards: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_shards or len(devs)
+    return Mesh(np.array(devs[:n]), ("spatial",))
+
+
+def default_halo(bank_finest: LevelBank, T_levels: tuple) -> int:
+    """Halo covering frontend support + refinement reach + template
+    height, rounded up to the pyramid stride."""
+    th_max = int(np.asarray(bank_finest.height).max())
+    stride = T_levels[-1] * (2 ** (len(T_levels) - 1))
+    raw = th_max + 8 * T_levels[0] + 128
+    return -(-raw // stride) * stride
+
+
+def spatial_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
+                       n_shards: int, halo: int, cand_cap: int = 256,
+                       distinct_cap: int = 64, gray: bool = True,
+                       n_ori: int = 8):
+    """Jitted row-sharded match for ONE huge frame.
+
+    step(tiles [n_shards, Hs + 2*halo, W] u8, weak_threshold, threshold,
+         *bank_fields) -> (k, x, y, score, valid) each
+    [n_shards * cand_cap] in FRAME coordinates, plus n_above [n_shards].
+
+    `tiles` come from :func:`slice_tiles` (overlapping in-image crops);
+    the per-shard band ownership and y translation are derived from the
+    same clipped-start arithmetic on the device side.
+    """
+    h, w = size_hw
+    hs = h // n_shards
+    tile_h = hs + 2 * halo
+    if h < tile_h:
+        raise ValueError(f"frame height {h} < tile {tile_h}; "
+                         f"lower halo or shard count")
+    levels = len(T_levels)
+    stride = T_levels[-1] * (2 ** (levels - 1))
+    if hs % stride or halo % stride:
+        raise ValueError(f"band {hs} and halo {halo} must be multiples "
+                         f"of the pyramid stride {stride}")
+    sizes = [(w >> l, tile_h >> l) for l in range(levels)]
+    t_last = T_levels[-1]
+    w_last = sizes[-1][0] // t_last
+    use_pallas = use_pallas_default()
+
+    def per_shard(tile, weak_threshold, threshold, *bank_fields):
+        from ..models.detector import _lm_pyramid
+
+        banks = []
+        for l in range(levels):
+            banks.append(LevelBank(*bank_fields[7 * l:7 * (l + 1)]))
+        K = banks[-1].fx.shape[0]
+
+        i = jax.lax.axis_index("spatial").astype(jnp.int32)
+        start = jnp.clip(i * hs - halo, 0, h - tile_h)  # tile's frame row
+
+        tile2d = tile[0]
+        lms = _lm_pyramid(tile2d, jnp.zeros((1, 1), jnp.uint8), gray,
+                          False, T_levels, levels, weak_threshold, n_ori,
+                          False, fused=use_pallas)
+
+        S, _ = coarse_similarity_dispatch(lms[-1][0], lms[-1][1],
+                                          banks[-1], t_last, sizes[-1],
+                                          use_pallas)
+        k, x, y, sc, valid, n_above = extract_candidates(
+            S, banks[-1].nfeat, threshold, t_last, w_last, cand_cap)
+        # band ownership at the coarse level: the candidate's frame row
+        # (coarse pixel coords are level-(levels-1) pixels)
+        scale = 2 ** (levels - 1)
+        y_frame = y * scale + start
+        band_lo = i * hs
+        valid = valid & (y_frame >= band_lo) & (y_frame < band_lo + hs)
+
+        for l in range(levels - 2, -1, -1):
+            if use_pallas:
+                from ..ops.pallas.refine_pallas import (
+                    refine_windows_pallas, window_refine_supported)
+                if window_refine_supported(sizes[l], T_levels[l], n_ori):
+                    k, x, y, sc, valid = refine_windows_pallas(
+                        lms[l][0], banks[l], T_levels[l], sizes[l],
+                        k, x, y, valid, threshold, skip_invalid=True)
+                    continue
+            slots, slot_of_k, _nd = distinct_templates(k, valid, K,
+                                                       distinct_cap)
+            sub = gather_bank(banks[l], slots)
+            Sfull, _ = coarse_similarity_dispatch(
+                lms[l][0], lms[l][1], sub, T_levels[l], sizes[l],
+                use_pallas, mask_positions=False)
+            k, x, y, sc, valid = refine_from_maps(
+                Sfull, slot_of_k, banks[l], T_levels[l], sizes[l],
+                k, x, y, valid, threshold)
+
+        y = jnp.where(valid, y + start, 0)
+        k = jnp.where(valid, k, 0)
+        x = jnp.where(valid, x, 0)
+        sc = jnp.where(valid, sc, 0.0)
+        # every shard ends with the full frame's candidate set
+        k, x, y, sc, valid = (
+            jax.lax.all_gather(a, "spatial", axis=0, tiled=True)
+            for a in (k, x, y, sc, valid))
+        return k, x, y, sc, valid, n_above[None]
+
+    bank_specs = tuple(P() for _ in range(7 * levels))
+    shard = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P("spatial"), P(), P()) + bank_specs,
+        out_specs=(P(), P(), P(), P(), P(), P("spatial")),
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+def slice_tiles(image: np.ndarray, n_shards: int, halo: int) -> np.ndarray:
+    """Overlapping in-image row tiles [n, Hs + 2*halo, W] for
+    spatial_match_step (the loader-side scatter)."""
+    h = image.shape[0]
+    hs = h // n_shards
+    tile_h = hs + 2 * halo
+    tiles = []
+    for i in range(n_shards):
+        s = min(max(i * hs - halo, 0), h - tile_h)
+        tiles.append(image[s:s + tile_h])
+    return np.stack(tiles)
+
+
+def match_huge_frame(detector, image, threshold: float,
+                     mesh: Mesh | None = None, class_id: str | None = None,
+                     halo: int | None = None, cand_cap: int = 256):
+    """Host convenience: spatially-sharded match of one frame, returning
+    the same sorted/deduped Match list as Detector.match."""
+    from ..models.detector import Match, _sort_dedup
+
+    if mesh is None:
+        mesh = make_spatial_mesh()
+    n = mesh.devices.shape[0]
+    image = np.asarray(image)
+    h, w = image.shape[:2]
+    detector._validate_size((h, w))
+    if h % n:
+        raise ValueError(f"frame height {h} not divisible by {n} shards")
+    if class_id is None:
+        (class_id,) = detector.class_ids()
+    banks = detector._get_banks(class_id)
+    if halo is None:
+        halo = default_halo(banks[0], detector.T_at_level)
+
+    step = spatial_match_step(mesh, detector.T_at_level, (h, w), n, halo,
+                              cand_cap=cand_cap,
+                              gray=image.ndim == 2,
+                              n_ori=detector.num_orientations)
+    fields = [f for b in banks for f in b]
+    tiles = slice_tiles(image, n, halo)
+    k, x, y, sc, valid, n_above = step(
+        jnp.asarray(tiles), jnp.float32(detector.weak_threshold),
+        jnp.float32(threshold), *fields)
+    k, x, y, sc, valid = (np.asarray(a) for a in (k, x, y, sc, valid))
+    if (np.asarray(n_above) > cand_cap).any():
+        import warnings
+
+        warnings.warn(f"candidate overflow: max "
+                      f"{int(np.asarray(n_above).max())} above threshold, "
+                      f"cap {cand_cap}; raise cand_cap for full parity")
+    out = [Match(int(x[i]), int(y[i]), float(sc[i]), class_id, int(k[i]))
+           for i in np.nonzero(valid)[0]]
+    return _sort_dedup(out)

@@ -1,8 +1,11 @@
-"""Device-true prefix profiling: each prefix of the match pipeline runs
-R times inside ONE jitted fori_loop (input perturbed per iteration to
-defeat CSE), so per-iteration time is pure device execution — no tunnel
-dispatch latency (which is ~1-3 ms per launch through axon and drowns
-naked per-stage timings).
+"""Device-true prefix profiling via naked queue-pipelined timing: each
+prefix of the match pipeline is dispatched R times back-to-back with ONE
+block_until_ready at the end — the device queue serializes execution, so
+per-call time is device time once the queue is deep (tunnel dispatch
+latency overlaps). NOTE: the earlier fori-loop self-timing variant was
+unreliable — XLA can constant-fold/hoist perturbed loop bodies and
+under-report by 100x; prefix deltas are also confounded by scheduling,
+so trust TOTALS more than deltas.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_device.py [K] [R]
 """
@@ -83,20 +86,15 @@ def main():
         return (jnp.sum(x), jnp.sum(valid))
 
     def timed(stage):
-        def repeated(image):
-            def body(i, carry):
-                outs = stage_outputs(image ^ i.astype(jnp.uint8), stage)
-                return carry + sum(jnp.int32(o) for o in outs)
-            return jax.lax.fori_loop(0, R, body, jnp.int32(0))
-
-        jr = jax.jit(repeated)
+        jr = jax.jit(lambda im: sum(jnp.int32(o) for o in
+                                    stage_outputs(im, stage)))
         out = jr(image)
         jax.block_until_ready(out)
+        n = 12 * R
         t0 = time.perf_counter()
-        for _ in range(3):
-            out = jr(image)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / (3 * R) * 1e3
+        outs = [jr(image) for _ in range(n)]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / n * 1e3
 
     names = [
         "L1 frontend (pyrdown+lm)",
