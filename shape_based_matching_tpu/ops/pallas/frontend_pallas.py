@@ -28,6 +28,7 @@ ops/response.build_linear_memories_fused).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fastmath import phase_deg
+
+
+def _resolve_interpret(interpret):
+    """None -> the SBM_PALLAS_INTERPRET env flag (lets CPU CI run the
+    full TPU dispatch graph through the interpreter)."""
+    if interpret is None:
+        return os.environ.get("SBM_PALLAS_INTERPRET", "") == "1"
+    return bool(interpret)
 
 # OpenCV small-gaussian 7-tap kernel in Q8 (filters._GAUSS7_Q8).
 _GAUSS7_Q8 = (8, 28, 56, 72, 56, 28, 8)
@@ -172,10 +181,20 @@ def frontend_supported(shape, gray: bool, n_ori: int,
             and h % 8 == 0 and w % 128 == 0)
 
 
+def quant_spread_pallas(img: jnp.ndarray, threshold_sq, T: int,
+                        with_quant: bool = False,
+                        interpret: bool | None = None):
+    """Non-jitted shim: resolves `interpret` (None -> env flag) OUTSIDE
+    jit, then delegates."""
+    return _quant_spread_pallas(img, threshold_sq, T, with_quant,
+                                _resolve_interpret(interpret))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("T", "with_quant", "interpret"))
-def quant_spread_pallas(img: jnp.ndarray, threshold_sq, T: int,
-                        with_quant: bool = False, interpret: bool = False):
+def _quant_spread_pallas(img: jnp.ndarray, threshold_sq, T: int,
+                         with_quant: bool = False,
+                         interpret: bool = False):
     """spread(hysteresis_quantize(...), T) fused in one kernel.
 
     img: [H, W] uint8 gray (the gray path of quantizedOrientations,
@@ -210,9 +229,17 @@ def quant_spread_pallas(img: jnp.ndarray, threshold_sq, T: int,
     return outs if len(out_shape) > 1 else outs[0]
 
 
-@functools.partial(jax.jit, static_argnames=("T", "interpret"))
 def quant_spread_pallas_batched(imgs: jnp.ndarray, threshold_sq, T: int,
-                                interpret: bool = False) -> jnp.ndarray:
+                                interpret: bool | None = None
+                                ) -> jnp.ndarray:
+    """Non-jitted shim: resolves `interpret` OUTSIDE jit, then delegates."""
+    return _quant_spread_pallas_batched(imgs, threshold_sq, T,
+                                        _resolve_interpret(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def _quant_spread_pallas_batched(imgs: jnp.ndarray, threshold_sq, T: int,
+                                 interpret: bool = False) -> jnp.ndarray:
     """Frame-batched quant_spread_pallas: [B, H, W] -> [B, H, W].
 
     Grid over the batch dim (one frontend program per frame) — a single

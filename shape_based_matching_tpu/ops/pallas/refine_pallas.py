@@ -42,6 +42,7 @@ score epilogue runs in XLA on the [Ccand, 256] result.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..similarity import LevelBank
+
+
+def _resolve_interpret(interpret):
+    """None -> the SBM_PALLAS_INTERPRET env flag (lets CPU CI run the
+    full TPU dispatch graph through the interpreter)."""
+    if interpret is None:
+        return os.environ.get("SBM_PALLAS_INTERPRET", "") == "1"
+    return bool(interpret)
 
 
 _WINDOW_GROUP = 8  # candidates per grid program (amortizes per-program
@@ -127,12 +136,23 @@ def _map_window_kernel(meta_ref, ext_ref, out_ref):
     out_ref[0] = jnp.where(col16 < 128 - dc, ar[:16, :16], br[:16, :16])
 
 
-@functools.partial(jax.jit, static_argnames=("T", "size_wh", "interpret"))
 def refine_from_maps_pallas(Sfull: jnp.ndarray, slot_of_k: jnp.ndarray,
                             bank: LevelBank, T: int, size_wh,
                             k: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                             valid: jnp.ndarray, threshold,
-                            interpret: bool = False):
+                            interpret: bool | None = None):
+    """Non-jitted shim: resolves `interpret` OUTSIDE jit, then delegates."""
+    return _refine_from_maps_pallas(Sfull, slot_of_k, bank, T, size_wh,
+                                    k, x, y, valid, threshold,
+                                    _resolve_interpret(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("T", "size_wh", "interpret"))
+def _refine_from_maps_pallas(Sfull: jnp.ndarray, slot_of_k: jnp.ndarray,
+                             bank: LevelBank, T: int, size_wh,
+                             k: jnp.ndarray, x: jnp.ndarray,
+                             y: jnp.ndarray, valid: jnp.ndarray, threshold,
+                             interpret: bool = False):
     """Drop-in for ops.similarity.refine_from_maps — bit-identical — with
     the [C,16,16] window gather done by _map_window_kernel instead of an
     XLA flat gather (which lowers to ~65k serial scalar loads per frame,
@@ -224,14 +244,26 @@ def window_refine_supported(size_wh, T: int, n_ori: int = 8,
     return (C * H + 32) * w_ext <= budget_bytes
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("T", "size_wh", "interpret",
-                                    "skip_invalid"))
 def refine_windows_pallas(lm: jnp.ndarray, bank: LevelBank, T: int, size_wh,
                           k: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                           valid: jnp.ndarray, threshold,
-                          interpret: bool = False,
+                          interpret: bool | None = None,
                           skip_invalid: bool = False):
+    """Non-jitted shim: resolves `interpret` (None -> env flag) OUTSIDE
+    jit, then delegates to the jitted implementation."""
+    return _refine_windows_pallas(lm, bank, T, size_wh, k, x, y, valid,
+                                  threshold, _resolve_interpret(interpret),
+                                  skip_invalid)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("T", "size_wh", "interpret",
+                                    "skip_invalid"))
+def _refine_windows_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
+                           size_wh, k: jnp.ndarray, x: jnp.ndarray,
+                           y: jnp.ndarray, valid: jnp.ndarray, threshold,
+                           interpret: bool = False,
+                           skip_invalid: bool = False):
     """Drop-in replacement for one pyramid refinement level — exact
     (bit-identical) vs ops.similarity.refine_candidates for ALL banks,
     including pathological ones (templates wider than image - 16T).

@@ -34,6 +34,7 @@ LM fetch and the final score write.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..similarity import LevelBank
+
+
+def _resolve_interpret(interpret):
+    """None -> the SBM_PALLAS_INTERPRET env flag (lets CPU CI run the
+    full TPU dispatch graph through the interpreter)."""
+    if interpret is None:
+        return os.environ.get("SBM_PALLAS_INTERPRET", "") == "1"
+    return bool(interpret)
 
 
 def _coarse_kernel(meta_ref, lm_ref, out_ref):
@@ -201,11 +210,21 @@ def _coarse_kernel_packed4(meta_ref, lm_ref, out_ref):
     out_ref[0] = acc
 
 
+def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
+                             size_wh, interpret: bool | None = None,
+                             mask_positions: bool = True):
+    """Non-jitted shim: resolves `interpret` (None -> env flag) OUTSIDE
+    jit so the flag is a true static argument, then delegates."""
+    return _coarse_similarity_pallas(lm, bank, T, size_wh,
+                                     _resolve_interpret(interpret),
+                                     mask_positions)
+
+
 @functools.partial(jax.jit, static_argnames=("T", "size_wh", "interpret",
                                              "mask_positions"))
-def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
-                             size_wh, interpret: bool = False,
-                             mask_positions: bool = True):
+def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
+                              size_wh, interpret: bool,
+                              mask_positions: bool = True):
     """Drop-in replacement for ops.similarity.coarse_similarity.
 
     `lm` is the [8, T*T, M] linear-memory stack from

@@ -1,0 +1,44 @@
+"""Full TPU dispatch graph on CPU via SBM_PALLAS_INTERPRET=1.
+
+CPU CI normally exercises only the XLA fallbacks (use_pallas resolves
+False off-TPU); a bug in the Detector's Pallas dispatch plumbing (mode
+selection, argument wiring, batched grids) would otherwise surface only
+on real hardware. With the env flag set, every Pallas wrapper resolves
+interpret=True, so Detector(use_pallas=True) runs the EXACT TPU code
+path — fused frontend, packed coarse kernel, window refinement — through
+the Pallas interpreter, and must produce the XLA path's match lists
+bit-for-bit."""
+
+import numpy as np
+import pytest
+
+from shape_based_matching_tpu.utils.synthetic import (build_rotated_detector,
+                                                      synthetic_scene)
+
+
+def _keys(matches):
+    return [(m.template_id, m.x, m.y, round(m.similarity, 4))
+            for m in matches]
+
+
+@pytest.fixture
+def interpret_env(monkeypatch):
+    monkeypatch.setenv("SBM_PALLAS_INTERPRET", "1")
+
+
+def test_detector_pallas_dispatch_interpreted(interpret_env):
+    det, templ_img = build_rotated_detector(num_templates=6,
+                                            num_features=32, size=56)
+    scene = synthetic_scene(256, 256, templ_img, n_instances=2, seed=5)
+
+    det.use_pallas = False
+    want = det._match_escalating(scene, 80.0)
+    want_b = det.match_batch(scene[None], 80.0)[0]
+
+    det.use_pallas = True
+    got = det._match_escalating(scene, 80.0)
+    got_b = det.match_batch(scene[None], 80.0)[0]
+
+    assert len(want) > 0
+    assert _keys(got) == _keys(want)
+    assert _keys(got_b) == _keys(want_b) == _keys(want)
