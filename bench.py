@@ -67,10 +67,43 @@ def _measure_throughput(num_templates: int = 360, batch: int = 8,
     return batch / dt
 
 
+def _measure_case1(iters: int = 20):
+    """Real-data baseline (SURVEY.md §6): the upstream case1 angle demo —
+    361 rotation templates x 128 features, trained by the compiled C++
+    reference, on its test frame. Returns ms/frame or None if the
+    reference mount is absent."""
+    import os
+
+    ref = "/root/reference/test/case1"
+    golden = os.path.join(os.path.dirname(__file__), "tests", "goldens")
+    if not (os.path.isdir(ref) and os.path.isdir(golden)):
+        return None
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    import jax
+    from golden_utils import load_mat
+
+    from shape_based_matching_tpu import Detector
+
+    det = Detector(num_features=128, T=(4, 8))
+    det.read_classes(["test"], f"{ref}/%s_templ.yaml")
+    img = jax.device_put(load_mat("case1_img.bin"))
+    jax.block_until_ready(img)
+    out = det.match_batch(img[None], 90.0, as_matches=False)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = det.match_batch(img[None], 90.0, as_matches=False)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def main():
     ms_360 = _measure(360)
     ms_1000 = _measure(1000)
     fps_b8 = _measure_throughput(360, 8)
+    ms_case1 = _measure_case1()
 
     detail = {
         "match_1024x1024_1000templates_e2e_ms": round(ms_1000, 3),
@@ -80,6 +113,8 @@ def main():
         "vs_baseline_360": round(BASELINE_360_MS / ms_360, 2),
         "north_star_under_5ms": ms_1000 < 5.0,
     }
+    if ms_case1 is not None:
+        detail["case1_361templates_golden_e2e_ms"] = round(ms_case1, 3)
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=2)
 

@@ -42,3 +42,18 @@ def test_detector_pallas_dispatch_interpreted(interpret_env):
     assert len(want) > 0
     assert _keys(got) == _keys(want)
     assert _keys(got_b) == _keys(want_b) == _keys(want)
+
+
+def test_match_batch_map_mode_interpreted(interpret_env):
+    """cand_cap >= 1024 selects the distinct-template map path with the
+    Pallas map-window extract; results must equal the XLA path."""
+    det, templ_img = build_rotated_detector(num_templates=6,
+                                            num_features=32, size=56)
+    scene = synthetic_scene(256, 256, templ_img, n_instances=2, seed=5)
+
+    det.use_pallas = False
+    want = det.match_batch(scene[None], 80.0, cand_cap=1024)[0]
+    det.use_pallas = True
+    got = det.match_batch(scene[None], 80.0, cand_cap=1024)[0]
+    assert len(want) > 0
+    assert _keys(got) == _keys(want)
