@@ -301,6 +301,9 @@ class Detector:
         self.strong_threshold = float(strong_threshold)
         self.class_templates: dict[str, list[TemplatePyramid]] = {}
         self._banks: dict[str, list[LevelBank]] = {}
+        # id(bank) -> (max width, max height) on the host (see
+        # _is_pathological)
+        self._bank_maxdims: dict[int, tuple[int, int]] = {}
 
     # ------------------------------------------------------------------
     # Template management
@@ -344,7 +347,8 @@ class Detector:
         crop_templates(tp)
         pyramids = self.class_templates.setdefault(class_id, [])
         pyramids.append(tp)
-        self._banks.pop(class_id, None)
+        for b in self._banks.pop(class_id, None) or []:
+            self._bank_maxdims.pop(id(b), None)
         return len(pyramids) - 1
 
     def add_template_rotate(self, class_id: str, zero_id: int, theta: float,
@@ -358,7 +362,8 @@ class Detector:
                                                self.num_orientations)
         crop_templates(tp)
         pyramids.append(tp)
-        self._banks.pop(class_id, None)
+        for b in self._banks.pop(class_id, None) or []:
+            self._bank_maxdims.pop(id(b), None)
         return len(pyramids) - 1
 
     def get_templates(self, class_id: str, template_id: int) -> TemplatePyramid:
@@ -556,14 +561,16 @@ class Detector:
             out.append(_sort_dedup(frame_matches))
         return out
 
-    @staticmethod
-    def _is_pathological(bank, size_wh, T) -> bool:
+    def _is_pathological(self, bank, size_wh, T) -> bool:
+        """Whether any template is wider than image - 16T. Uses the
+        host-side max dims cached at bank build — a per-call
+        np.asarray(bank.width) would be a blocking D2H sync in the
+        match_batch preamble (serializes the dispatch pipeline; measured
+        70+ ms/frame through a high-latency device transport)."""
         w_img, h_img = size_wh
         border = 16 * T
-        widths = np.asarray(bank.width)
-        heights = np.asarray(bank.height)
-        return bool(((w_img - widths) < border).any()
-                    or ((h_img - heights) < border).any())
+        wmax, hmax = self._bank_maxdims[id(bank)]
+        return (w_img - wmax) < border or (h_img - hmax) < border
 
     def _match_class(self, lmflats, sizes, threshold, class_id,
                      max_candidates) -> list[Match]:
@@ -715,7 +722,11 @@ class Detector:
                     }
                     for tp in pyramids
                 ]
-                banks.append(pack_level_bank(level_templates))
+                bank = pack_level_bank(level_templates)
+                self._bank_maxdims[id(bank)] = (
+                    max((t["width"] for t in level_templates), default=1),
+                    max((t["height"] for t in level_templates), default=1))
+                banks.append(bank)
             self._banks[class_id] = banks
         return banks
 
@@ -745,6 +756,7 @@ class Detector:
         self.num_orientations = int(doc.get("num_orientations", 8))
         self.class_templates.clear()
         self._banks.clear()
+        self._bank_maxdims.clear()
 
     def save_settings(self, path: str, templates_dir: str | None = None,
                       classes=None) -> None:
@@ -788,7 +800,8 @@ class Detector:
             tp = [Template.from_yaml(t) for t in tp_node.get("templates", [])]
             pyramids.append(tp)
         self.class_templates[class_id] = pyramids
-        self._banks.pop(class_id, None)
+        for b in self._banks.pop(class_id, None) or []:
+            self._bank_maxdims.pop(id(b), None)
         return class_id
 
     def write_classes(self, fmt: str = "templates_%s.yml.gz") -> None:

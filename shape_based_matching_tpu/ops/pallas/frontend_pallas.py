@@ -105,40 +105,70 @@ def _spread_or(sp, T, axis):
     return sp
 
 
-def _quant_spread_kernel(img_ref, thr_ref, out_ref, *, T, with_quant,
-                         quant_ref=None, batched: bool = False):
+def _quant_spread_kernel(img_ref, thr_ref, dims_ref, out_ref, *, T,
+                         with_quant, quant_ref=None, batched: bool = False,
+                         color: bool = False):
+    """Shapes may be PADDED to (8, 128) tile multiples; dims_ref (SMEM
+    [2]) carries the real (h, w). The host pads with edge replication, so
+    blur/sobel values consumed by real in-border pixels equal full-frame
+    BORDER_REPLICATE; the quantization border mask and the vote
+    in-image mask use the real dims (pad pixels cast NO vote — a bare
+    q8=0 pad pixel would wrongly vote for bin 0)."""
     if batched:  # refs carry a leading size-1 batch block
-        h, w = img_ref.shape[1:]
-        img = img_ref[0].astype(jnp.int32)
+        base = img_ref[0]
     else:
-        h, w = img_ref.shape
-        img = img_ref[...].astype(jnp.int32)
+        base = img_ref[...]
 
-    # --- GaussianBlur 7x7 sigma=0, BORDER_REPLICATE, Q8 fixed point ------
-    acc = _sep_replicate(img, _GAUSS7_Q8, 1)
-    acc = _sep_replicate(acc, _GAUSS7_Q8, 0)
-    blurred = (acc + (1 << 15)) >> 16
+    def frontend(chan):
+        # GaussianBlur 7x7 sigma=0, REPLICATE, Q8 fixed point; then
+        # Sobel 3x3 (smooth [1,2,1] x diff [-1,0,1]), REPLICATE
+        acc = _sep_replicate(chan, _GAUSS7_Q8, 1)
+        acc = _sep_replicate(acc, _GAUSS7_Q8, 0)
+        blurred = (acc + (1 << 15)) >> 16
+        sv = _sep_replicate(blurred, (1, 2, 1), 0)
+        dx = _sep_replicate(sv, (-1, 0, 1), 1)
+        sh = _sep_replicate(blurred, (1, 2, 1), 1)
+        dy = _sep_replicate(sh, (-1, 0, 1), 0)
+        return dx, dy
 
-    # --- Sobel 3x3 (smooth [1,2,1] x diff [-1,0,1]), BORDER_REPLICATE ----
-    sv = _sep_replicate(blurred, (1, 2, 1), 0)
-    dx = _sep_replicate(sv, (-1, 0, 1), 1)
-    sh = _sep_replicate(blurred, (1, 2, 1), 1)
-    dy = _sep_replicate(sh, (-1, 0, 1), 0)
+    if color:
+        h, w = base.shape[1:]
+        dx0, dy0 = frontend(base[0].astype(jnp.int32))
+        dx1, dy1 = frontend(base[1].astype(jnp.int32))
+        dx2, dy2 = frontend(base[2].astype(jnp.int32))
+        m0 = dx0 * dx0 + dy0 * dy0
+        m1 = dx1 * dx1 + dy1 * dy1
+        m2 = dx2 * dx2 + dy2 * dy2
+        # per-pixel max-|grad|^2 channel, reference tie rules
+        # (line2Dup.cpp:331-401 / gradients.quantized_orientations_color)
+        pick0 = (m0 >= m1) & (m0 >= m2)
+        pick1 = (~pick0) & (m1 >= m0) & (m1 >= m2)
+        dx = jnp.where(pick0, dx0, jnp.where(pick1, dx1, dx2))
+        dy = jnp.where(pick0, dy0, jnp.where(pick1, dy1, dy2))
+        magi = jnp.where(pick0, m0, jnp.where(pick1, m1, m2))
+    else:
+        h, w = base.shape
+        dx, dy = frontend(base.astype(jnp.int32))
+        magi = dx * dx + dy * dy
 
-    mag = (dx * dx + dy * dy).astype(jnp.float32)
+    mag = magi.astype(jnp.float32)
     ang = phase_deg(dx.astype(jnp.float32), dy.astype(jnp.float32))
 
     # --- quantize to 16 then fold to 8 bins, zero the 1px border ---------
     q16 = jax.lax.round(ang * jnp.float32(16.0 / 360.0),
                         jax.lax.RoundingMethod.TO_NEAREST_EVEN
                         ).astype(jnp.int32)
+    hr = dims_ref[0]
+    wr = dims_ref[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    border = (row > 0) & (row < h - 1) & (col > 0) & (col < w - 1)
+    border = (row > 0) & (row < hr - 1) & (col > 0) & (col < wr - 1)
+    in_image = (row < hr) & (col < wr)
     q8 = jnp.where(border, q16 & 7, 0)
 
     # --- 3x3 nibble-packed majority vote (gradients.hysteresis_quantize) -
     packed = (jnp.uint32(1) << (jnp.uint32(4) * q8.astype(jnp.uint32)))
+    packed = jnp.where(in_image, packed, jnp.uint32(0))
     votes = jnp.zeros((h, w), jnp.uint32)
     for di in (-1, 0, 1):
         rowshift = packed if di == 0 else _shift_zero(packed, di, 0)
@@ -175,10 +205,12 @@ def _quant_spread_kernel(img_ref, thr_ref, out_ref, *, T, with_quant,
 def frontend_supported(shape, gray: bool, n_ori: int,
                        patch_2843: bool, has_mask: bool) -> bool:
     """Whether the fused kernel covers this configuration (the hot match
-    path); everything else takes the XLA chain."""
+    path): gray AND color, any size (inputs pad to tile multiples with
+    exact border semantics); 16-ori / PATCH_2843 / masked configurations
+    take the XLA chain."""
     h, w = shape[:2]
-    return (gray and n_ori == 8 and not patch_2843 and not has_mask
-            and h % 8 == 0 and w % 128 == 0)
+    return (n_ori == 8 and not patch_2843 and not has_mask
+            and h >= 8 and w >= 8)
 
 
 def quant_spread_pallas(img: jnp.ndarray, threshold_sq, T: int,
@@ -197,21 +229,32 @@ def _quant_spread_pallas(img: jnp.ndarray, threshold_sq, T: int,
                          interpret: bool = False):
     """spread(hysteresis_quantize(...), T) fused in one kernel.
 
-    img: [H, W] uint8 gray (the gray path of quantizedOrientations,
-    line2Dup.cpp:322-330; color/16-ori/PATCH_2843 use the XLA path).
-    Returns the [H, W] uint8 spread image; `with_quant` adds the
-    pre-spread quantized image as a second output.
+    img: [H, W] uint8 gray or [H, W, 3] color (quantizedOrientations,
+    line2Dup.cpp:313-404; 16-ori/PATCH_2843/masked use the XLA path).
+    Any size: inputs pad to (8, 128) tile multiples with edge
+    replication (exact BORDER_REPLICATE semantics) and the kernel masks
+    with the real dims. Returns the [H, W] uint8 spread image;
+    `with_quant` adds the pre-spread quantized image as a second output.
     """
-    h, w = img.shape
+    color = img.ndim == 3
+    h, w = img.shape[:2]
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    pad = ((0, hp - h), (0, wp - w)) + (((0, 0),) if color else ())
+    padded = jnp.pad(img, pad, mode="edge")
+    if color:
+        padded = jnp.transpose(padded, (2, 0, 1))  # [3, Hp, Wp]
     thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1)
-    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.uint8)]
+    dims = jnp.array([h, w], jnp.int32)
+    out_shape = [jax.ShapeDtypeStruct((hp, wp), jnp.uint8)]
     if with_quant:
-        out_shape.append(jax.ShapeDtypeStruct((h, w), jnp.uint8))
+        out_shape.append(jax.ShapeDtypeStruct((hp, wp), jnp.uint8))
 
-    def body(img_ref, thr_ref, out_ref, *rest):
+    def body(img_ref, thr_ref, dims_ref, out_ref, *rest):
         rest = list(rest)
         _quant_spread_kernel(
-            img_ref, thr_ref, out_ref, T=T, with_quant=with_quant,
+            img_ref, thr_ref, dims_ref, out_ref, T=T,
+            with_quant=with_quant, color=color,
             quant_ref=rest.pop(0) if with_quant else None)
 
     outs = pl.pallas_call(
@@ -219,14 +262,17 @@ def _quant_spread_pallas(img: jnp.ndarray, threshold_sq, T: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(img, thr)
-    return outs if len(out_shape) > 1 else outs[0]
+    )(padded, thr, dims)
+    outs = [o[:h, :w] for o in (outs if isinstance(outs, (list, tuple))
+                                else [outs])]
+    return tuple(outs) if len(outs) > 1 else outs[0]
 
 
 def quant_spread_pallas_batched(imgs: jnp.ndarray, threshold_sq, T: int,
@@ -240,30 +286,43 @@ def quant_spread_pallas_batched(imgs: jnp.ndarray, threshold_sq, T: int,
 @functools.partial(jax.jit, static_argnames=("T", "interpret"))
 def _quant_spread_pallas_batched(imgs: jnp.ndarray, threshold_sq, T: int,
                                  interpret: bool = False) -> jnp.ndarray:
-    """Frame-batched quant_spread_pallas: [B, H, W] -> [B, H, W].
+    """Frame-batched quant_spread_pallas: [B, H, W{,3}] -> [B, H, W].
 
     Grid over the batch dim (one frontend program per frame) — a single
     pallas_call for the whole batch instead of vmapping the single-frame
-    kernel (one program, explicit per-frame blocks)."""
-    b, h, w = imgs.shape
+    kernel (one program, explicit per-frame blocks). Sizes pad like the
+    single-frame wrapper."""
+    color = imgs.ndim == 4
+    b, h, w = imgs.shape[:3]
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    pad = ((0, 0), (0, hp - h), (0, wp - w)) + (((0, 0),) if color else ())
+    padded = jnp.pad(imgs, pad, mode="edge")
+    if color:
+        padded = jnp.transpose(padded, (0, 3, 1, 2))  # [B, 3, Hp, Wp]
     thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1)
+    dims = jnp.array([h, w], jnp.int32)
 
-    def body(img_ref, thr_ref, out_ref):
-        _quant_spread_kernel(img_ref, thr_ref, out_ref, T=T,
-                             with_quant=False, batched=True)
+    def body(img_ref, thr_ref, dims_ref, out_ref):
+        _quant_spread_kernel(img_ref, thr_ref, dims_ref, out_ref, T=T,
+                             with_quant=False, batched=True, color=color)
 
-    return pl.pallas_call(
+    img_block = ((1, 3, hp, wp) if color else (1, hp, wp))
+    img_index = ((lambda i: (i, 0, 0, 0)) if color
+                 else (lambda i: (i, 0, 0)))
+    out = pl.pallas_call(
         body,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(img_block, img_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.uint8),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(imgs, thr)
+    )(padded, thr, dims)
+    return out[:, :h, :w]

@@ -47,6 +47,60 @@ def test_quant_and_spread_parity(T, name):
     np.testing.assert_array_equal(np.asarray(got_sp), ref_sp)
 
 
+@pytest.mark.parametrize("name,hw", [("odd-w", (128, 244)),
+                                     ("odd-h", (124, 256)),
+                                     ("small", (48, 72))])
+def test_quant_and_spread_parity_padded_sizes(name, hw):
+    """Sizes off the (8, 128) tile grid: the kernel pads with edge
+    replication and masks with the real dims — must equal the XLA chain
+    bit-for-bit, including border votes at the true image edges."""
+    rng = np.random.RandomState(hash(name) % 2**31)
+    img = (rng.rand(*hw) * 255).astype(np.uint8)
+    T = 4
+    g = quantized_orientations_gray(jnp.asarray(img), jnp.float32(30.0))
+    ref_sp = np.asarray(spread(g.angle, T))
+    got_sp, got_q = quant_spread_pallas(
+        jnp.asarray(img), jnp.float32(30.0) ** 2, T, with_quant=True,
+        interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got_q), np.asarray(g.angle))
+    np.testing.assert_array_equal(np.asarray(got_sp), ref_sp)
+
+
+@pytest.mark.parametrize("T", [4, 8])
+@pytest.mark.parametrize("hw", [(128, 256), (120, 244)])
+def test_quant_and_spread_parity_color(T, hw):
+    """Color path: per-channel blur/sobel + max-|grad|^2 channel select
+    with the reference tie rules, fused — vs the XLA color chain."""
+    from shape_based_matching_tpu.ops.gradients import (
+        quantized_orientations_color)
+
+    rng = np.random.RandomState(11)
+    img = (rng.rand(*hw, 3) * 255).astype(np.uint8)
+    g = quantized_orientations_color(jnp.asarray(img), jnp.float32(30.0))
+    ref_sp = np.asarray(spread(g.angle, T))
+    got_sp, got_q = quant_spread_pallas(
+        jnp.asarray(img), jnp.float32(30.0) ** 2, T, with_quant=True,
+        interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got_q), np.asarray(g.angle))
+    np.testing.assert_array_equal(np.asarray(got_sp), ref_sp)
+
+
+def test_batched_color_and_padded():
+    from shape_based_matching_tpu.ops.pallas.frontend_pallas import (
+        quant_spread_pallas_batched)
+    from shape_based_matching_tpu.ops.gradients import (
+        quantized_orientations_color)
+
+    rng = np.random.RandomState(13)
+    imgs = (rng.rand(3, 120, 244, 3) * 255).astype(np.uint8)
+    got = np.asarray(quant_spread_pallas_batched(
+        jnp.asarray(imgs), jnp.float32(30.0) ** 2, 4, interpret=INTERPRET))
+    for b in range(3):
+        g = quantized_orientations_color(jnp.asarray(imgs[b]),
+                                         jnp.float32(30.0))
+        np.testing.assert_array_equal(got[b], np.asarray(spread(g.angle, 4)))
+
+
 @pytest.mark.parametrize("T", [4, 8])
 def test_linear_memories_parity(T):
     img = _images()["scene"]
@@ -69,8 +123,8 @@ def test_weak_threshold_respected():
 
 def test_frontend_supported_gate():
     assert frontend_supported((1024, 1024), True, 8, False, False)
-    assert not frontend_supported((1024, 1024), False, 8, False, False)
+    assert frontend_supported((1024, 1024), False, 8, False, False)  # color
+    assert frontend_supported((1024, 160), True, 8, False, False)  # padded
     assert not frontend_supported((1024, 1024), True, 16, False, False)
     assert not frontend_supported((1024, 1024), True, 8, True, False)
     assert not frontend_supported((1024, 1024), True, 8, False, True)
-    assert not frontend_supported((1024, 160), True, 8, False, False)
