@@ -220,6 +220,50 @@ def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
                                      mask_positions)
 
 
+def _coarse_kernel_packed2(meta_ref, lm_ref, out_ref):
+    """u16-packed variant for 64..16383-response banks: 2 LM cells per
+    i32 lane (one per u16 half), two cell-preshifted copies — the wide
+    (>63-feature, line2Dup.cpp:811 u16-accumulator) analog of
+    _coarse_kernel_packed4. Copy r's word w holds cells 2w+r (low half)
+    and 2w+r+1 (high half); a feature picks copy s%2 and word-rolls by
+    s//2. Half-sums stay < 65536 (caller gates on N*max_resp), so no
+    carry crosses the halves and results match the XLA path exactly."""
+    n_feats = meta_ref[0, 0, meta_ref.shape[2] - 1]
+    rows = lm_ref.shape[2]
+    lanes = lm_ref.shape[3]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+
+    def one(n):
+        plane = meta_ref[0, 0, n]
+        s = meta_ref[0, 1, n]
+        sw = s // 2
+        r = s % 2
+        q = sw // lanes
+        rem = sw % lanes
+        p = lm_ref[r, plane]
+        a = pltpu.roll(p, jax.lax.rem(rows - q, rows), axis=0)
+        l = pltpu.roll(a, jax.lax.rem(lanes - rem, lanes), axis=1)
+        l1 = pltpu.roll(l, rows - 1, axis=0)
+        return jnp.where(col < lanes - rem, l, l1)
+
+    UNROLL = 8
+    def body(i, acc):
+        base = i * UNROLL
+        for u in range(UNROLL):
+            acc = acc + one(base + u)
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, n_feats // UNROLL, body, jnp.zeros((rows, lanes), jnp.int32))
+
+    def tail(n, acc):
+        return acc + one(n)
+
+    acc = jax.lax.fori_loop((n_feats // UNROLL) * UNROLL, n_feats, tail, acc)
+    out_ref[0] = acc
+
+
 @functools.partial(jax.jit, static_argnames=("T", "size_wh", "interpret",
                                              "mask_positions"))
 def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
@@ -250,7 +294,8 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
     N_slots = int(bank.fx.shape[1])
     max_resp = 4 if n_ori == 8 else 8
     packed = N_slots * max_resp <= 255
-    gran = 4096 if packed else 1024
+    packed2 = (not packed) and N_slots * max_resp <= 65535
+    gran = 4096 if (packed or packed2) else 1024
     M_pad = -(-(M + max(W, 1)) // gran) * gran
     rows = M_pad // 128
     P = M_pad - M
@@ -339,6 +384,36 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
         # arithmetic (score * 100) cannot overflow a u8.
         S = jax.lax.bitcast_convert_type(Sp, jnp.uint8).reshape(
             K, M_pad)[:, :M].astype(jnp.int32)
+    elif packed2 and 4 * (C + 1) * M_pad <= 36 * 2**20:
+        rows_w2 = M_pad // 256
+        flatp = lm3.reshape(C + 1, M_pad)
+        flatp = jnp.concatenate(
+            [flatp, jnp.zeros((C + 1, 2), jnp.uint8)], axis=1)
+        copies = jnp.stack(
+            [flatp[:, r:r + M_pad] for r in range(2)]).astype(jnp.int32)
+        lmw = (copies[..., 0::2] | (copies[..., 1::2] << 16)).reshape(
+            2, C + 1, rows_w2, 128)
+        Sp = pl.pallas_call(
+            _coarse_kernel_packed2,
+            grid=(K,),
+            in_specs=[
+                pl.BlockSpec((1, 2, N), lambda k: (k, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((2, C + 1, rows_w2, 128),
+                             lambda k: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, rows_w2, 128),
+                                   lambda k: (k, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((K, rows_w2, 128), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20),
+            interpret=interpret,
+        )(meta, lmw)
+        lo = Sp & 0xFFFF
+        hi = (Sp >> 16) & 0xFFFF
+        S = jnp.stack([lo, hi], axis=-1).reshape(K, M_pad)[:, :M]
     else:
         S = pl.pallas_call(
             _coarse_kernel,

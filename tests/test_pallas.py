@@ -55,6 +55,32 @@ def test_pallas_coarse_equals_xla(rng, mask_positions):
     np.testing.assert_array_equal(a, b)
 
 
+def test_pallas_coarse_wide_bank_u16_packed(rng):
+    """>63-feature templates route through the u16-packed kernel
+    (2 cells/lane, the reference's u16-accumulator analog,
+    line2Dup.cpp:811) — must equal the XLA path exactly."""
+    T = 8
+    H = W = 256
+    M = (H // T) * (W // T)
+    lm = rng.randint(0, 5, (8, T * T, M)).astype(np.uint8)
+    lmflat = jnp.concatenate([jnp.asarray(lm.reshape(-1)),
+                              jnp.zeros((M,), jnp.uint8)])
+    templates = []
+    for _ in range(7):
+        n = int(rng.randint(80, 200))
+        feats = [(int(rng.randint(0, 128)), int(rng.randint(0, 128)),
+                  int(rng.randint(0, 8))) for _ in range(n)]
+        templates.append({"features": feats, "width": 128, "height": 128})
+    bank = pack_level_bank(templates)
+    assert int(bank.fx.shape[1]) * 4 > 255  # really the packed2 gate
+
+    S0, p0 = coarse_similarity(lmflat, bank, T, (W, H))
+    S1, p1 = coarse_similarity_pallas(jnp.asarray(lm), bank, T, (W, H),
+                                      interpret=not ON_TPU)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(S0), np.asarray(S1))
+
+
 @pytest.mark.parametrize("T,hw", [(8, 256), (8, 1024), (4, 128)])
 def test_pallas_coarse_edge_features(rng, T, hw):
     """Features at fx == width / fy == height with T | width (crop_templates
