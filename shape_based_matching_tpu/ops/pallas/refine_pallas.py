@@ -93,16 +93,19 @@ def _window_kernel(meta_ref, ext_ref, out_ref):
         return jnp.where(col16 < 128 - dc, ar[:16, :16], br[:16, :16])
 
     # Feature slices are latency-bound; unrolling overlaps them.
-    UNROLL = 4
+    UNROLL = 8
 
     for g in range(G):
         n_feats = meta_ref[0, g, 0, meta_ref.shape[3] - 1]
 
         def body(i, acc, g=g):
+            # pairwise tree: add chain log2(UNROLL) deep (bit-exact)
             base = i * UNROLL
-            for u in range(UNROLL):
-                acc = acc + one(g, base + u)
-            return acc
+            vals = [one(g, base + u) for u in range(UNROLL)]
+            while len(vals) > 1:
+                vals = [vals[p] + vals[p + 1]
+                        for p in range(0, len(vals), 2)]
+            return acc + vals[0]
 
         acc = jax.lax.fori_loop(
             0, n_feats // UNROLL, body, jnp.zeros((16, 16), jnp.int32))
@@ -328,10 +331,11 @@ def _refine_windows_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
     below = jnp.concatenate(
         [flat2d[1:], jnp.zeros((1, W), jnp.uint8)], axis=0)
     ext = jnp.concatenate([flat2d, below[:, :16]], axis=1)
+
+    N1 = meta.shape[3]
     w_pad = (((W + 14) // 128) + 2) * 128 - (W + 16)
     ext = jnp.pad(ext, ((0, 32), (0, w_pad)))
 
-    N1 = meta.shape[3]
     R, Wext = ext.shape
     patches = pl.pallas_call(
         _window_kernel,

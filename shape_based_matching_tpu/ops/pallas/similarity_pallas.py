@@ -195,10 +195,13 @@ def _coarse_kernel_packed4(meta_ref, lm_ref, out_ref):
 
     UNROLL = 8
     def body(i, acc):
+        # pairwise tree keeps the add dependency chain at log2(UNROLL)
+        # instead of UNROLL (integer adds: bit-exact either way)
         base = i * UNROLL
-        for u in range(UNROLL):
-            acc = acc + one(base + u)
-        return acc
+        vals = [one(base + u) for u in range(UNROLL)]
+        while len(vals) > 1:
+            vals = [vals[p] + vals[p + 1] for p in range(0, len(vals), 2)]
+        return acc + vals[0]
 
     acc = jax.lax.fori_loop(
         0, n_feats // UNROLL, body, jnp.zeros((rows, lanes), jnp.int32))
