@@ -432,6 +432,240 @@ def cmd_preprocess(args) -> int:
     return 0
 
 
+def _rotated_rect_points(center, size, angle_deg):
+    """cv::RotatedRect::points replica: 4 corners of a center/size box
+    rotated by `angle_deg` (OpenCV's clockwise convention)."""
+    import math
+
+    cx, cy = float(center[0]), float(center[1])
+    w, h = float(size[0]), float(size[1])
+    rad = angle_deg * math.pi / 180.0
+    b = math.cos(rad) * 0.5
+    a = math.sin(rad) * 0.5
+    p0 = (cx - a * h - b * w, cy + b * h - a * w)
+    p1 = (cx + a * h - b * w, cy - b * h - a * w)
+    p2 = (2 * cx - p0[0], 2 * cy - p0[1])
+    p3 = (2 * cx - p1[0], 2 * cy - p1[1])
+    return [p0, p1, p2, p3]
+
+
+def _pad_image(img: np.ndarray, padding: int) -> np.ndarray:
+    """Zero-pad all four borders (test.cpp:273-279,344-347)."""
+    widths = ((padding, padding), (padding, padding)) + \
+        (((0, 0),) if img.ndim == 3 else ())
+    return np.pad(img, widths, mode="constant")
+
+
+def _demo_matches_json(matches, det, path: str) -> None:
+    rows = [{"class_id": m.class_id, "template_id": int(m.template_id),
+             "x": int(m.x), "y": int(m.y),
+             "similarity": float(m.similarity)} for m in matches]
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=2)
+
+
+def cmd_demo(args) -> int:
+    """Upstream demo suite (test.cpp:162-555 scale/angle/noise tests),
+    headless: annotated results and match lists are written to --out
+    instead of imshow. --data points at a checkout of the reference's
+    test/ directory (committed template YAMLs + images)."""
+    from . import Detector, ShapeInfoProducer
+    from .utils import viz
+    from .utils.nms import nms_boxes
+    from .utils.timer import Timer
+
+    case_dir = os.path.join(args.data, args.case)
+    if not os.path.isdir(case_dir):
+        print(f"no such case directory: {case_dir}", file=sys.stderr)
+        return 1
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.RandomState(7)
+
+    def rand_color():
+        return tuple(int(c) for c in rng.randint(100, 255, 3))
+
+    if args.case == "case0":
+        # scale_test (test.cpp:162-260): circle over a 0.1..1.0 scale sweep.
+        det = Detector(num_features=150, T=(4, 8))
+        if args.mode == "train":
+            img = _load_image(os.path.join(case_dir, "templ/circle.png"),
+                              gray=args.gray)
+            shapes = ShapeInfoProducer(img)
+            shapes.scale_range = [0.1, 1.0]
+            shapes.scale_step = 0.01
+            shapes.produce_infos()
+            infos_have_templ = []
+            for info in shapes.infos:
+                tid = det.add_template(shapes.src_of(info), "circle",
+                                       shapes.mask_of(info),
+                                       num_features=int(150 * info.scale))
+                print(f"templ_id: {tid} (scale {info.scale:.2f})")
+                if tid != -1:
+                    infos_have_templ.append(info)
+            det.write_classes(os.path.join(args.out, "%s_templ.yaml"))
+            ShapeInfoProducer.save_infos(
+                infos_have_templ, os.path.join(args.out, "circle_info.yaml"))
+            print("train end")
+            return 0
+        det.read_classes(["circle"], os.path.join(case_dir, "%s_templ.yaml"))
+        img = crop_to_stride(
+            _load_image(os.path.join(case_dir, args.image or "1.jpg"),
+                        gray=args.gray), 32)
+        timer = Timer()
+        matches = det.match(img, args.threshold, ["circle"])
+        timer.out("match")
+        print(f"matches.size(): {len(matches)}")
+        ann = viz.Annotator(img)
+        for m in matches[:5]:
+            t0 = det.get_templates("circle", m.template_id)[0]
+            r = t0.width // 2
+            color = (255,) + tuple(int(c) for c in rng.randint(0, 255, 2))
+            ann.text((m.x + r - 10, m.y - 3), int(round(m.similarity)),
+                     color)
+            ann.circle((m.x + r, m.y + r), r, color)
+            print(f"match.template_id: {m.template_id}  "
+                  f"match.similarity: {m.similarity}")
+    elif args.case == "case1":
+        # angle_test (test.cpp:262-420): one base template + 360 rotations.
+        det = Detector(num_features=128, T=(4, 8))
+        if args.mode == "train":
+            img = _load_image(os.path.join(case_dir, "train.png"),
+                              gray=args.gray)
+            img = img[110:380, 130:400]  # Rect(130, 110, 270, 270)
+            mask = np.full(img.shape[:2], 255, np.uint8)
+            img, mask = _pad_image(img, 100), _pad_image(mask, 100)
+            shapes = ShapeInfoProducer(img, mask)
+            shapes.angle_range = [0.0, 360.0]
+            shapes.angle_step = args.angle_step
+            shapes.scale_range = [1.0]
+            shapes.produce_infos()
+            infos_have_templ = []
+            first_id, first_angle = 0, 0.0
+            is_first = True
+            for info in shapes.infos:
+                if is_first:
+                    tid = det.add_template(shapes.src_of(info), "test",
+                                           shapes.mask_of(info))
+                    first_id, first_angle = tid, info.angle
+                    if args.use_rot:
+                        is_first = False
+                else:
+                    tid = det.add_template_rotate(
+                        "test", first_id, info.angle - first_angle,
+                        (img.shape[1] / 2.0, img.shape[0] / 2.0))
+                print(f"templ_id: {tid} (angle {info.angle:.1f})")
+                if tid != -1:
+                    infos_have_templ.append(info)
+            det.write_classes(os.path.join(args.out, "%s_templ.yaml"))
+            ShapeInfoProducer.save_infos(
+                infos_have_templ, os.path.join(args.out, "test_info.yaml"))
+            print("train end")
+            return 0
+        det.read_classes(["test"], os.path.join(case_dir, "%s_templ.yaml"))
+        infos = ShapeInfoProducer.load_infos(
+            os.path.join(case_dir, "test_info.yaml"))
+        img = crop_to_stride(_pad_image(
+            _load_image(os.path.join(case_dir, "test.png"),
+                        gray=args.gray), 250), 16)
+        timer = Timer()
+        matches = det.match(img, args.threshold, ["test"])
+        timer.out("match")
+        print(f"matches.size(): {len(matches)}")
+        ann = viz.Annotator(img)
+        for m in matches[:1]:
+            t0 = det.get_templates("test", m.template_id)[0]
+            info = infos[m.template_id]
+            r_scaled = 270 / 2.0 * info.scale
+            # center of the training image inside the test frame
+            # (270 = trained ROI width, 100 = training padding)
+            x = m.x - t0.tl_x + 270 / 2.0 + 100
+            y = m.y - t0.tl_y + 270 / 2.0 + 100
+            color = rand_color()
+            for f in t0.features:
+                ann.circle((f.x + m.x, f.y + m.y), 3, color, fill=True)
+            ann.text((m.x + r_scaled - 10, m.y - 3),
+                     int(round(m.similarity)), color)
+            pts = _rotated_rect_points((x, y), (2 * r_scaled, 2 * r_scaled),
+                                       -info.angle)
+            for i in range(4):
+                ann.line(pts[i], pts[(i + 1) % 4], color)
+            print(f"match.template_id: {m.template_id}  "
+                  f"match.similarity: {m.similarity}  "
+                  f"angle: {info.angle}")
+    else:
+        # noise_test (test.cpp:422-528): multi-instance + detection NMS.
+        det = Detector(num_features=30, T=(4, 8))
+        if args.mode == "train":
+            img = _load_image(os.path.join(case_dir, "train.png"),
+                              gray=args.gray)
+            mask = np.full(img.shape[:2], 255, np.uint8)
+            shapes = ShapeInfoProducer(img, mask)
+            shapes.angle_range = [0.0, 360.0]
+            shapes.angle_step = args.angle_step
+            shapes.produce_infos()
+            infos_have_templ = []
+            first_id, first_angle = 0, 0.0
+            is_first = True
+            for info in shapes.infos:
+                # this fork's transform() only re-renders exact-90 rotations
+                # (line2Dup.h:398-402), so --use-rot (feature rotation) is
+                # the default for arbitrary angles, as in angle_test.
+                if is_first or not args.use_rot:
+                    tid = det.add_template(shapes.src_of(info), "test",
+                                           shapes.mask_of(info))
+                    first_id, first_angle = tid, info.angle
+                    is_first = False
+                else:
+                    tid = det.add_template_rotate(
+                        "test", first_id, info.angle - first_angle,
+                        (img.shape[1] / 2.0, img.shape[0] / 2.0))
+                print(f"templ_id: {tid} (angle {info.angle:.1f})")
+                if tid != -1:
+                    infos_have_templ.append(info)
+            det.write_classes(os.path.join(args.out, "%s_templ.yaml"))
+            ShapeInfoProducer.save_infos(
+                infos_have_templ, os.path.join(args.out, "test_info.yaml"))
+            print("train end")
+            return 0
+        det.read_classes(["test"], os.path.join(case_dir, "%s_templ.yaml"))
+        img = crop_to_stride(
+            _load_image(os.path.join(case_dir, "test.png"), gray=args.gray),
+            16)
+        timer = Timer()
+        matches = det.match(img, args.threshold, ["test"])
+        timer.out("match")
+        print(f"matches.size(): {len(matches)}")
+        boxes, scores = [], []
+        for m in matches:
+            t0 = det.get_templates("test", m.template_id)[0]
+            boxes.append((m.x, m.y, t0.width, t0.height))
+            scores.append(m.similarity)
+        keep = nms_boxes(boxes, scores, 0.0, 0.5)
+        ann = viz.Annotator(img)
+        kept = []
+        for idx in keep:
+            m = matches[idx]
+            t0 = det.get_templates("test", m.template_id)[0]
+            color = rand_color()
+            for f in t0.features:
+                ann.circle((f.x + m.x, f.y + m.y), 2, color, fill=True)
+            r = t0.width // 2
+            ann.text((m.x + r - 10, m.y - 3), int(round(m.similarity)),
+                     color)
+            ann.rect((m.x, m.y, t0.width, t0.height), color)
+            kept.append(m)
+            print(f"match.template_id: {m.template_id}  "
+                  f"match.similarity: {m.similarity}")
+        matches = kept
+
+    result_path = os.path.join(args.out, f"{args.case}_result.png")
+    ann.save(result_path)
+    _demo_matches_json(matches, det,
+                       os.path.join(args.out, f"{args.case}_matches.json"))
+    print(f"result: {result_path}")
+    return 0
+
+
 def main(argv=None) -> int:
     # Persistent compile cache: TPU compiles are expensive (seconds to
     # minutes via remote-compile tunnels); warm runs of the same shapes
@@ -518,6 +752,24 @@ def main(argv=None) -> int:
     pp.add_argument("--tiles", type=int, default=8,
                     help="CLAHE tile grid (reference uses 8x8)")
     pp.set_defaults(fn=cmd_preprocess)
+
+    dm = sub.add_parser(
+        "demo", help="upstream demo suite (test.cpp scale/angle/noise)")
+    dm.add_argument("case", choices=("case0", "case1", "case2"))
+    dm.add_argument("--data", required=True,
+                    help="directory containing case0/ case1/ case2/ "
+                         "(the reference's test/ tree)")
+    dm.add_argument("--out", required=True, help="output directory")
+    dm.add_argument("--mode", choices=("test", "train"), default="test")
+    dm.add_argument("--threshold", type=float, default=90.0)
+    dm.add_argument("--image", help="case0 test image name (default 1.jpg)")
+    dm.add_argument("--angle-step", type=float, default=1.0,
+                    help="train-mode rotation step (committed YAMLs use 1)")
+    dm.add_argument("--use-rot", action="store_true", default=True,
+                    help="derive rotations via addTemplate_rotate")
+    dm.add_argument("--no-use-rot", dest="use_rot", action="store_false")
+    dm.add_argument("--gray", action="store_true")
+    dm.set_defaults(fn=cmd_demo)
 
     args = ap.parse_args(argv)
     return args.fn(args)

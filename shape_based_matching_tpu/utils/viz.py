@@ -86,3 +86,60 @@ def save_image(img: np.ndarray, path: str) -> None:
     if arr.ndim == 3:
         arr = arr[:, :, ::-1]  # BGR -> RGB for PIL
     Image.fromarray(arr).save(path)
+
+
+class Annotator:
+    """PIL-backed drawing surface over a BGR uint8 image.
+
+    Covers the primitives the reference demo drivers use on their result
+    images (test.cpp:246-556: cv::circle, cv::line, cv::rectangle,
+    cv::putText) for headless file output. Colors are BGR tuples like the
+    reference's cv::Scalar."""
+
+    def __init__(self, img_bgr: np.ndarray):
+        from PIL import Image, ImageDraw
+
+        arr = np.asarray(img_bgr, np.uint8)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        self._im = Image.fromarray(arr[:, :, ::-1].copy())  # BGR -> RGB
+        self._draw = ImageDraw.Draw(self._im)
+
+    @staticmethod
+    def _rgb(color):
+        b, g, r = (int(c) for c in color)
+        return (r, g, b)
+
+    def circle(self, center, radius, color, thickness=2, fill=False):
+        x, y = float(center[0]), float(center[1])
+        r = float(radius)
+        box = (x - r, y - r, x + r, y + r)
+        if fill:
+            self._draw.ellipse(box, fill=self._rgb(color))
+        else:
+            self._draw.ellipse(box, outline=self._rgb(color),
+                               width=int(thickness))
+        return self
+
+    def line(self, p0, p1, color, thickness=2):
+        self._draw.line([tuple(map(float, p0)), tuple(map(float, p1))],
+                        fill=self._rgb(color), width=int(thickness))
+        return self
+
+    def rect(self, xywh, color, thickness=2):
+        x, y, w, h = (float(v) for v in xywh)
+        self._draw.rectangle((x, y, x + w, y + h),
+                             outline=self._rgb(color), width=int(thickness))
+        return self
+
+    def text(self, xy, s, color):
+        self._draw.text((float(xy[0]), float(xy[1]) - 10), str(s),
+                        fill=self._rgb(color))
+        return self
+
+    def array(self) -> np.ndarray:
+        """Rendered image back as a BGR uint8 array."""
+        return np.asarray(self._im)[:, :, ::-1].copy()
+
+    def save(self, path: str) -> None:
+        self._im.save(path)

@@ -11,6 +11,35 @@ from shape_based_matching_tpu.utils.synthetic import (synthetic_scene,
 from shape_based_matching_tpu.utils.viz import save_image
 
 
+def test_cli_demo_case2_synthetic(tmp_path):
+    """Demo driver plumbing (test.cpp noise_test shape) on a synthetic
+    mini-case: train with a coarse angle step, then match + NMS."""
+    templ = synthetic_shape_image(96, seed=3)
+    scene = synthetic_scene(256, 256, templ, n_instances=2, seed=9)
+
+    case = tmp_path / "case2"
+    case.mkdir()
+    save_image(templ, str(case / "train.png"))
+    save_image(scene, str(case / "test.png"))
+
+    rc = main(["demo", "case2", "--data", str(tmp_path),
+               "--out", str(case), "--mode", "train",
+               "--angle-step", "90", "--gray"])
+    assert rc == 0
+    assert os.path.exists(str(case / "test_templ.yaml"))
+    assert os.path.exists(str(case / "test_info.yaml"))
+
+    out = tmp_path / "out"
+    rc = main(["demo", "case2", "--data", str(tmp_path),
+               "--out", str(out), "--threshold", "60", "--gray"])
+    assert rc == 0
+    assert os.path.exists(str(out / "case2_result.png"))
+    with open(str(out / "case2_matches.json")) as f:
+        rows = json.load(f)
+    assert len(rows) >= 1
+    assert all(r["similarity"] >= 60 for r in rows)
+
+
 def test_cli_train_and_match(tmp_path):
     templ = synthetic_shape_image(128, seed=0)
     scene = synthetic_scene(256, 256, templ, n_instances=2, seed=5)
