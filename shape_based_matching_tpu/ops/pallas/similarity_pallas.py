@@ -52,165 +52,131 @@ def _resolve_interpret(interpret):
     return bool(interpret)
 
 
-def _coarse_kernel(meta_ref, lm_ref, out_ref):
-    """meta_ref: SMEM [1, 2, N+1] (plane, flat shift s; plane==C if
-    invalid). Slot [0, 0, N] carries the template's LIVE feature count —
-    the loop runs only that far, so padded bank slots (count 0, e.g.
-    gather_bank fill rows in capped distinct-template refinement) cost no
-    rotates at all. lm_ref: VMEM [C+1, M/128, 128] u8 (planes in row-major
-    flat layout, last plane zeros); out_ref: VMEM [1, M/128, 128] i32.
+def _make_rotate_kernel(unroll: int, widen: bool = False,
+                        stitch: bool = False):
+    """Factory for the rotate-accumulate feature loop shared by every
+    coarse-kernel variant.
 
-    A feature contributes plane<<s (flat left-shift by s): rotate rows up by
-    s//128 (s//128+1 for the carry part), lanes left by s%128, and select on
-    a lane iota. Lane dim is exactly 128 so dynamic rotates are legal.
-    """
-    n_feats = meta_ref[0, 0, meta_ref.shape[2] - 1]
-    rows = lm_ref.shape[1]
-    lanes = lm_ref.shape[2]
+    All per-feature scalars are PRECOMPUTED on the XLA side into the SMEM
+    meta (the kernel was partly scalar-issue bound: at K=1000/L1 the
+    packed4 variant drops 1.9 -> ~1.0 ms with precomputed meta + deeper
+    tree unroll). meta_ref rows (SMEM [1, R, N1], int32):
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+        0: idx — flat plane index into lm_ref's leading dim (copy-folded
+           for preshifted variants: idx = (s % copies)*(C+1) + plane);
+           slot [0, 0, N1-1] instead carries the LIVE feature count
+        1: b   — sublane (row) roll amount, (rows - sw//128) % rows
+        2: a   — lane roll amount, (128 - sw%128) % 128
+        3: m   — select bound, 128 - sw%128 in [1, 128]
+        4,5 (stitch only): byte shifts 8*(s%4), 8*(3 - s%4)
 
-    def one(n):
-        plane = meta_ref[0, 0, n]
-        s = meta_ref[0, 1, n]
-        q = s // lanes
-        r = s % lanes
-        # dynamic rotate requires 32-bit lanes; widen the u8 plane first
-        p = lm_ref[plane].astype(jnp.int32)  # leading dim is untiled
-        a = pltpu.roll(p, jax.lax.rem(rows - q, rows), axis=0)
-        l = pltpu.roll(a, jax.lax.rem(lanes - r, lanes), axis=1)
-        # row and lane rotates commute: the carry image (rows shifted up by
-        # one more) is a STATIC roll of l — 2 dynamic + 1 static rotate
-        # instead of 4 dynamic.
-        l1 = pltpu.roll(l, rows - 1, axis=0)
-        return jnp.where(col < lanes - r, l, l1)
+    Feature slots past the live count (bank padding + meta column padding
+    to an unroll multiple) index an all-zero plane with b=a=0, m=128, so
+    the loop runs ceil(count/unroll) full tree-unrolled blocks — no
+    serial tail, no masking.
 
-    # Unroll the feature loop: the per-feature dynamic rotates are
-    # latency-bound, and independent features overlap (K=1000 coarse:
-    # 4.6 ms rolled, 3.3 ms at x2, best at x8).
-    UNROLL = 8
-    def body(i, acc):
-        base = i * UNROLL
-        for u in range(UNROLL):
-            acc = acc + one(base + u)
-        return acc
+    A feature contributes plane<<s (flat left-shift by s cells): rotate
+    rows up, lanes left, and select the row-carry image (a STATIC roll of
+    the rotated image — row and lane rotates commute) past the lane wrap.
+    `widen` converts the u8 plane to i32 before rolling (Mosaic dynamic
+    rotates need 32-bit lanes); `stitch` reassembles a byte-phase-shifted
+    word from the rolled word pair (packed layout without preshifted
+    copies, see _coarse_similarity_pallas)."""
 
-    acc = jax.lax.fori_loop(
-        0, n_feats // UNROLL, body, jnp.zeros((rows, lanes), jnp.int32))
+    def kernel(meta_ref, lm_ref, out_ref):
+        n_feats = meta_ref[0, 0, meta_ref.shape[2] - 1]
+        rows = lm_ref.shape[1]
+        lanes = lm_ref.shape[2]
 
-    def tail(n, acc):
-        return acc + one(n)
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
 
-    acc = jax.lax.fori_loop((n_feats // UNROLL) * UNROLL, n_feats, tail, acc)
-    out_ref[0] = acc
+        def one(n):
+            idx = meta_ref[0, 0, n]
+            b = meta_ref[0, 1, n]
+            a = meta_ref[0, 2, n]
+            m = meta_ref[0, 3, n]
+            p = lm_ref[idx]
+            if widen:
+                p = p.astype(jnp.int32)
+            x = pltpu.roll(p, b, axis=0)
+            l = pltpu.roll(x, a, axis=1)
+            l1 = pltpu.roll(l, rows - 1, axis=0)
+            w1 = jnp.where(col < m, l, l1)
+            if not stitch:
+                return w1
+            sh1 = meta_ref[0, 4, n]
+            sh2 = meta_ref[0, 5, n]
+            # W2 = flat roll of W1 by one more word; the double left shift
+            # keeps both amounts < 32 so byte phase 0 degenerates to W1|0.
+            y = pltpu.roll(w1, lanes - 1, axis=1)
+            y1 = pltpu.roll(y, rows - 1, axis=0)
+            w2 = jnp.where(col < lanes - 1, y, y1)
+            return (w1 >> sh1) | ((w2 << sh2) << 8)
 
+        def body(i, acc):
+            # pairwise tree keeps the add dependency chain at
+            # log2(unroll) instead of unroll (integer adds: bit-exact
+            # either way)
+            base = i * unroll
+            vals = [one(base + u) for u in range(unroll)]
+            while len(vals) > 1:
+                vals = [vals[v] + vals[v + 1]
+                        for v in range(0, len(vals), 2)]
+            return acc + vals[0]
 
-def _coarse_kernel_packed(meta_ref, lm_ref, out_ref):
-    """Byte-packed variant: 4 consecutive LM cells per i32 lane.
+        acc = jax.lax.fori_loop(
+            0, (n_feats + unroll - 1) // unroll, body,
+            jnp.zeros((rows, lanes), jnp.int32))
+        out_ref[0] = acc
 
-    lm_ref: VMEM [C+1, rows_w, 128] i32, word at (r, c) = little-endian
-    bytes 512r+4c .. +3 of the padded plane. A feature's flat byte shift s
-    decomposes into a word shift s//4 (the same rotate dance as the
-    unpacked kernel, on 4x smaller tiles) plus a byte offset s%4 stitched
-    from the word pair (W1, W2=W1 shifted one more word):
-
-        value = (W1 >> 8r) | ((W2 << 8*(3-r)) << 8)      [r = s % 4]
-
-    (the double left shift keeps both amounts < 32 so r == 0 degenerates
-    to W1 | 0). Accumulation stays packed: responses are <= 4 and the
-    feature count <= 63, so every byte sum <= 252 — no carry ever crosses
-    a byte boundary. The caller gates on that bound and unpacks the final
-    [K, rows_w, 128] i32 via a bitcast. All byte movement is identical to
-    the unpacked kernel, so results match the XLA path bit-for-bit.
-    """
-    n_feats = meta_ref[0, 0, meta_ref.shape[2] - 1]
-    rows = lm_ref.shape[1]
-    lanes = lm_ref.shape[2]
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-
-    def one(n):
-        plane = meta_ref[0, 0, n]
-        s = meta_ref[0, 1, n]
-        sw = s // 4
-        r = s % 4
-        q = sw // lanes
-        rem = sw % lanes
-        p = lm_ref[plane]
-        a = pltpu.roll(p, jax.lax.rem(rows - q, rows), axis=0)
-        l = pltpu.roll(a, jax.lax.rem(lanes - rem, lanes), axis=1)
-        l1 = pltpu.roll(l, rows - 1, axis=0)
-        w1 = jnp.where(col < lanes - rem, l, l1)
-        # W2 = flat roll of W1 by one more word: lanes left by 1, with the
-        # wrapped last lane taking the next row's first word.
-        y = pltpu.roll(w1, lanes - 1, axis=1)
-        y1 = pltpu.roll(y, rows - 1, axis=0)
-        w2 = jnp.where(col < lanes - 1, y, y1)
-        return (w1 >> (8 * r)) | ((w2 << (8 * (3 - r))) << 8)
-
-    UNROLL = 8
-    def body(i, acc):
-        base = i * UNROLL
-        for u in range(UNROLL):
-            acc = acc + one(base + u)
-        return acc
-
-    acc = jax.lax.fori_loop(
-        0, n_feats // UNROLL, body, jnp.zeros((rows, lanes), jnp.int32))
-
-    def tail(n, acc):
-        return acc + one(n)
-
-    acc = jax.lax.fori_loop((n_feats // UNROLL) * UNROLL, n_feats, tail, acc)
-    out_ref[0] = acc
+    return kernel
 
 
-def _coarse_kernel_packed4(meta_ref, lm_ref, out_ref):
-    """Byte-preshifted variant of _coarse_kernel_packed: lm_ref is VMEM
-    [4, C+1, rows_w, 128] i32 where copy r's word (w) holds plane bytes
-    4w+r .. 4w+r+3. A feature's byte shift s then reduces to picking copy
-    s%4 and word-rolling by s//4 — the W2 stitch (one extra flat roll +
-    two shifts + or, ~half the kernel's issue slots) disappears. Byte
-    movement is otherwise identical, so results still match the XLA path
-    bit-for-bit; the coarse kernel is VPU issue-bound, so fewer ops is
-    directly fewer cycles (measured 1.59 -> ~0.9 ms, K=1000 @ L1)."""
-    n_feats = meta_ref[0, 0, meta_ref.shape[2] - 1]
-    rows = lm_ref.shape[2]
-    lanes = lm_ref.shape[3]
+def _unroll_for(rows: int, leaf_factor: int = 1) -> int:
+    """Tree depth scaled to the plane tile size: deeper unrolls keep
+    winning while the leaf working set stays within the vector register
+    file (one (8, 128) i32 vreg per 8 rows; the stitch variant holds two
+    live values per leaf). Measured on v5e at K=1000/L1 (rows=8):
+    U4 1.47, U8 1.22, U16 1.08, U32 0.96 ms — but a 32-leaf tree of
+    4-vreg tiles spills and REGRESSES (case1's packed2 at rows=32)."""
+    vregs_per_leaf = max(1, rows // 8) * leaf_factor
+    return max(4, min(32, 32 // vregs_per_leaf))
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
 
-    def one(n):
-        plane = meta_ref[0, 0, n]
-        s = meta_ref[0, 1, n]
-        sw = s // 4
-        r = s % 4
-        q = sw // lanes
-        rem = sw % lanes
-        p = lm_ref[r, plane]
-        a = pltpu.roll(p, jax.lax.rem(rows - q, rows), axis=0)
-        l = pltpu.roll(a, jax.lax.rem(lanes - rem, lanes), axis=1)
-        l1 = pltpu.roll(l, rows - 1, axis=0)
-        return jnp.where(col < lanes - rem, l, l1)
+def _build_meta(plane, s, nf, *, unit, copies, C, rows, unroll,
+                stitch=False):
+    """Precompute the per-feature scalar rows for _make_rotate_kernel.
 
-    UNROLL = 8
-    def body(i, acc):
-        # pairwise tree keeps the add dependency chain at log2(UNROLL)
-        # instead of UNROLL (integer adds: bit-exact either way)
-        base = i * UNROLL
-        vals = [one(base + u) for u in range(UNROLL)]
-        while len(vals) > 1:
-            vals = [vals[p] + vals[p + 1] for p in range(0, len(vals), 2)]
-        return acc + vals[0]
-
-    acc = jax.lax.fori_loop(
-        0, n_feats // UNROLL, body, jnp.zeros((rows, lanes), jnp.int32))
-
-    def tail(n, acc):
-        return acc + one(n)
-
-    acc = jax.lax.fori_loop((n_feats // UNROLL) * UNROLL, n_feats, tail, acc)
-    out_ref[0] = acc
+    plane/s: [K, N] plane ids (C = invalid/zero plane) and cell shifts;
+    nf: [K] live counts; unit: LM cells per i32 lane (1/2/4); copies:
+    preshifted copies folded into the plane axis; rows: word rows of a
+    plane tile."""
+    sw = s // unit
+    r = s % unit
+    q = sw // 128
+    rem = sw % 128
+    if copies > 1:
+        idx = r * (C + 1) + plane
+        zp = (copies - 1) * (C + 1) + C
+    else:
+        idx = plane
+        zp = C
+    rows_list = [idx,
+                 jnp.remainder(rows - q, rows),
+                 jnp.remainder(128 - rem, 128),
+                 128 - rem]
+    fills = [zp, 0, 0, 128]
+    if stitch:
+        rows_list += [8 * r, 8 * (unit - 1 - r)]
+        fills += [0, 0]
+    npad = (-plane.shape[1]) % unroll
+    out = []
+    for v, f in zip(rows_list, fills):
+        v = jnp.concatenate(
+            [v, jnp.full((v.shape[0], npad), f, v.dtype)], axis=1)
+        tailc = nf[:, None] if not out else jnp.zeros_like(nf)[:, None]
+        out.append(jnp.concatenate([v, tailc], axis=1))
+    return jnp.stack(out, axis=1).astype(jnp.int32)
 
 
 def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
@@ -221,50 +187,6 @@ def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
     return _coarse_similarity_pallas(lm, bank, T, size_wh,
                                      _resolve_interpret(interpret),
                                      mask_positions)
-
-
-def _coarse_kernel_packed2(meta_ref, lm_ref, out_ref):
-    """u16-packed variant for 64..16383-response banks: 2 LM cells per
-    i32 lane (one per u16 half), two cell-preshifted copies — the wide
-    (>63-feature, line2Dup.cpp:811 u16-accumulator) analog of
-    _coarse_kernel_packed4. Copy r's word w holds cells 2w+r (low half)
-    and 2w+r+1 (high half); a feature picks copy s%2 and word-rolls by
-    s//2. Half-sums stay < 65536 (caller gates on N*max_resp), so no
-    carry crosses the halves and results match the XLA path exactly."""
-    n_feats = meta_ref[0, 0, meta_ref.shape[2] - 1]
-    rows = lm_ref.shape[2]
-    lanes = lm_ref.shape[3]
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-
-    def one(n):
-        plane = meta_ref[0, 0, n]
-        s = meta_ref[0, 1, n]
-        sw = s // 2
-        r = s % 2
-        q = sw // lanes
-        rem = sw % lanes
-        p = lm_ref[r, plane]
-        a = pltpu.roll(p, jax.lax.rem(rows - q, rows), axis=0)
-        l = pltpu.roll(a, jax.lax.rem(lanes - rem, lanes), axis=1)
-        l1 = pltpu.roll(l, rows - 1, axis=0)
-        return jnp.where(col < lanes - rem, l, l1)
-
-    UNROLL = 8
-    def body(i, acc):
-        base = i * UNROLL
-        for u in range(UNROLL):
-            acc = acc + one(base + u)
-        return acc
-
-    acc = jax.lax.fori_loop(
-        0, n_feats // UNROLL, body, jnp.zeros((rows, lanes), jnp.int32))
-
-    def tail(n, acc):
-        return acc + one(n)
-
-    acc = jax.lax.fori_loop((n_feats // UNROLL) * UNROLL, n_feats, tail, acc)
-    out_ref[0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("T", "size_wh", "interpret",
@@ -322,14 +244,11 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
     plane = jnp.where(inb, plane, C)
     shift = jnp.where(inb, (bank.fy // T) * W + bank.fx // T, 0)
     # live feature count: pack_level_bank's valid flags are a prefix, so
-    # looping n < nfeat covers every live slot; appended as meta's last
-    # column (TPU SMEM blocks want the trailing dims whole).
+    # looping n < nfeat covers every live slot; carried in the meta's last
+    # column (see _build_meta / _make_rotate_kernel).
     nf = jnp.where(bank.valid.any(axis=1), bank.nfeat, 0).astype(jnp.int32)
-    plane = jnp.concatenate([plane, nf[:, None]], axis=1)
-    shift = jnp.concatenate([shift, jnp.zeros_like(nf)[:, None]], axis=1)
-    meta = jnp.stack([plane, shift], axis=1).astype(jnp.int32)  # [K,2,N+1]
 
-    K, _, N = meta.shape
+    K = plane.shape[0]
     if packed:
         rows_w = M_pad // 512
         # byte-preshifted copies whenever they fit VMEM (with headroom for
@@ -343,15 +262,19 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
             copies = jnp.stack([flatp[:, r:r + M_pad] for r in range(4)])
             lm4 = jax.lax.bitcast_convert_type(
                 copies.reshape(4, C + 1, rows_w * 128, 4), jnp.int32
-            ).reshape(4, C + 1, rows_w, 128)
+            ).reshape(4 * (C + 1), rows_w, 128)
+            unroll = _unroll_for(rows_w)
+            meta = _build_meta(plane, shift, nf, unit=4, copies=4, C=C,
+                               rows=rows_w, unroll=unroll)
+            N = meta.shape[2]
             Sp = pl.pallas_call(
-                _coarse_kernel_packed4,
+                _make_rotate_kernel(unroll),
                 grid=(K,),
                 in_specs=[
-                    pl.BlockSpec((1, 2, N), lambda k: (k, 0, 0),
+                    pl.BlockSpec((1, 4, N), lambda k: (k, 0, 0),
                                  memory_space=pltpu.SMEM),
-                    pl.BlockSpec((4, C + 1, rows_w, 128),
-                                 lambda k: (0, 0, 0, 0),
+                    pl.BlockSpec((4 * (C + 1), rows_w, 128),
+                                 lambda k: (0, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec((1, rows_w, 128),
@@ -366,11 +289,15 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
             lm3p = jax.lax.bitcast_convert_type(
                 lm3.reshape(C + 1, rows_w * 128, 4), jnp.int32
             ).reshape(C + 1, rows_w, 128)
+            unroll = _unroll_for(rows_w, leaf_factor=2)
+            meta = _build_meta(plane, shift, nf, unit=4, copies=1, C=C,
+                               rows=rows_w, unroll=unroll, stitch=True)
+            N = meta.shape[2]
             Sp = pl.pallas_call(
-                _coarse_kernel_packed,
+                _make_rotate_kernel(unroll, stitch=True),
                 grid=(K,),
                 in_specs=[
-                    pl.BlockSpec((1, 2, N), lambda k: (k, 0, 0),
+                    pl.BlockSpec((1, 6, N), lambda k: (k, 0, 0),
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec((C + 1, rows_w, 128), lambda k: (0, 0, 0),
                                  memory_space=pltpu.VMEM),
@@ -395,15 +322,19 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
         copies = jnp.stack(
             [flatp[:, r:r + M_pad] for r in range(2)]).astype(jnp.int32)
         lmw = (copies[..., 0::2] | (copies[..., 1::2] << 16)).reshape(
-            2, C + 1, rows_w2, 128)
+            2 * (C + 1), rows_w2, 128)
+        unroll = _unroll_for(rows_w2)
+        meta = _build_meta(plane, shift, nf, unit=2, copies=2, C=C,
+                           rows=rows_w2, unroll=unroll)
+        N = meta.shape[2]
         Sp = pl.pallas_call(
-            _coarse_kernel_packed2,
+            _make_rotate_kernel(unroll),
             grid=(K,),
             in_specs=[
-                pl.BlockSpec((1, 2, N), lambda k: (k, 0, 0),
+                pl.BlockSpec((1, 4, N), lambda k: (k, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((2, C + 1, rows_w2, 128),
-                             lambda k: (0, 0, 0, 0),
+                pl.BlockSpec((2 * (C + 1), rows_w2, 128),
+                             lambda k: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, rows_w2, 128),
@@ -418,11 +349,15 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
         hi = (Sp >> 16) & 0xFFFF
         S = jnp.stack([lo, hi], axis=-1).reshape(K, M_pad)[:, :M]
     else:
+        unroll = _unroll_for(rows)
+        meta = _build_meta(plane, shift, nf, unit=1, copies=1, C=C,
+                           rows=rows, unroll=unroll)
+        N = meta.shape[2]
         S = pl.pallas_call(
-            _coarse_kernel,
+            _make_rotate_kernel(unroll, widen=True),
             grid=(K,),
             in_specs=[
-                pl.BlockSpec((1, 2, N), lambda k: (k, 0, 0),
+                pl.BlockSpec((1, 4, N), lambda k: (k, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((C + 1, rows, 128), lambda k: (0, 0, 0),
                              memory_space=pltpu.VMEM),
