@@ -3,6 +3,11 @@
 the XLA side into the SMEM meta — zero scalar arithmetic in the feature
 loop. Measures whether the kernel is partly scalar-issue bound.
 
+OUTCOME: YES — landed in similarity_pallas.py. 1.87 -> 1.47 ms at U8
+(scalars alone), 0.96 ms at U32 (deeper tree on the lighter loop);
+bit-equal. Reproduced across runs (a >significant effect on this noisy
+tunnel, unlike the window-kernel experiments in exp_window_i32.py).
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/exp_meta_precompute.py [K]
 """
 
