@@ -127,11 +127,13 @@ def main():
     ms_case1 = _measure_case1()
     ms_360 = _measure(360)
     ms_1000 = _measure(1000)
+    ms_10000 = _measure(10000, iters=10)
     fps_b8 = _measure_throughput(360, 8)
 
     detail = {
         "match_1024x1024_1000templates_e2e_ms": round(ms_1000, 3),
         "match_1024x1024_360templates_e2e_ms": round(ms_360, 3),
+        "match_1024x1024_10000templates_e2e_ms": round(ms_10000, 3),
         "throughput_1024x1024_360templates_b8_fps": round(fps_b8, 1),
         "vs_baseline_1000": round(BASELINE_1000_MS / ms_1000, 2),
         "vs_baseline_360": round(BASELINE_360_MS / ms_360, 2),
