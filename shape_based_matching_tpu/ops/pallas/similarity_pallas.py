@@ -53,18 +53,19 @@ def _resolve_interpret(interpret):
 
 
 def _make_rotate_kernel(unroll: int, widen: bool = False,
-                        stitch: bool = False):
+                        stitch: bool = False, group: int = 1):
     """Factory for the rotate-accumulate feature loop shared by every
     coarse-kernel variant.
 
     All per-feature scalars are PRECOMPUTED on the XLA side into the SMEM
     meta (the kernel was partly scalar-issue bound: at K=1000/L1 the
     packed4 variant drops 1.9 -> ~1.0 ms with precomputed meta + deeper
-    tree unroll). meta_ref rows (SMEM [1, R, N1], int32):
+    tree unroll). meta_ref rows (SMEM [group, R, N1], int32), per
+    template in the group:
 
         0: idx — flat plane index into lm_ref's leading dim (copy-folded
            for preshifted variants: idx = (s % copies)*(C+1) + plane);
-           slot [0, 0, N1-1] instead carries the LIVE feature count
+           slot [g, 0, N1-1] instead carries the LIVE feature count
         1: b   — sublane (row) roll amount, (rows - sw//128) % rows
         2: a   — lane roll amount, (128 - sw%128) % 128
         3: m   — select bound, 128 - sw%128 in [1, 128]
@@ -73,7 +74,9 @@ def _make_rotate_kernel(unroll: int, widen: bool = False,
     Feature slots past the live count (bank padding + meta column padding
     to an unroll multiple) index an all-zero plane with b=a=0, m=128, so
     the loop runs ceil(count/unroll) full tree-unrolled blocks — no
-    serial tail, no masking.
+    serial tail, no masking. `group` templates are scored per grid
+    program (amortizes per-program output DMA / bookkeeping — measured
+    ~20% at K=1000; padded K rows carry count 0 and cost nothing).
 
     A feature contributes plane<<s (flat left-shift by s cells): rotate
     rows up, lanes left, and select the row-carry image (a STATIC roll of
@@ -84,52 +87,86 @@ def _make_rotate_kernel(unroll: int, widen: bool = False,
     copies, see _coarse_similarity_pallas)."""
 
     def kernel(meta_ref, lm_ref, out_ref):
-        n_feats = meta_ref[0, 0, meta_ref.shape[2] - 1]
         rows = lm_ref.shape[1]
         lanes = lm_ref.shape[2]
 
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
 
-        def one(n):
-            idx = meta_ref[0, 0, n]
-            b = meta_ref[0, 1, n]
-            a = meta_ref[0, 2, n]
-            m = meta_ref[0, 3, n]
-            p = lm_ref[idx]
-            if widen:
-                p = p.astype(jnp.int32)
-            x = pltpu.roll(p, b, axis=0)
-            l = pltpu.roll(x, a, axis=1)
-            l1 = pltpu.roll(l, rows - 1, axis=0)
-            w1 = jnp.where(col < m, l, l1)
-            if not stitch:
-                return w1
-            sh1 = meta_ref[0, 4, n]
-            sh2 = meta_ref[0, 5, n]
-            # W2 = flat roll of W1 by one more word; the double left shift
-            # keeps both amounts < 32 so byte phase 0 degenerates to W1|0.
-            y = pltpu.roll(w1, lanes - 1, axis=1)
-            y1 = pltpu.roll(y, rows - 1, axis=0)
-            w2 = jnp.where(col < lanes - 1, y, y1)
-            return (w1 >> sh1) | ((w2 << sh2) << 8)
+        for g in range(group):
+            n_feats = meta_ref[g, 0, meta_ref.shape[2] - 1]
 
-        def body(i, acc):
-            # pairwise tree keeps the add dependency chain at
-            # log2(unroll) instead of unroll (integer adds: bit-exact
-            # either way)
-            base = i * unroll
-            vals = [one(base + u) for u in range(unroll)]
-            while len(vals) > 1:
-                vals = [vals[v] + vals[v + 1]
-                        for v in range(0, len(vals), 2)]
-            return acc + vals[0]
+            def one(n, g=g):
+                idx = meta_ref[g, 0, n]
+                b = meta_ref[g, 1, n]
+                a = meta_ref[g, 2, n]
+                m = meta_ref[g, 3, n]
+                p = lm_ref[idx]
+                if widen:
+                    p = p.astype(jnp.int32)
+                x = pltpu.roll(p, b, axis=0)
+                l = pltpu.roll(x, a, axis=1)
+                l1 = pltpu.roll(l, rows - 1, axis=0)
+                w1 = jnp.where(col < m, l, l1)
+                if not stitch:
+                    return w1
+                sh1 = meta_ref[g, 4, n]
+                sh2 = meta_ref[g, 5, n]
+                # W2 = flat roll of W1 by one more word; the double left
+                # shift keeps both amounts < 32 so byte phase 0
+                # degenerates to W1|0.
+                y = pltpu.roll(w1, lanes - 1, axis=1)
+                y1 = pltpu.roll(y, rows - 1, axis=0)
+                w2 = jnp.where(col < lanes - 1, y, y1)
+                return (w1 >> sh1) | ((w2 << sh2) << 8)
 
-        acc = jax.lax.fori_loop(
-            0, (n_feats + unroll - 1) // unroll, body,
-            jnp.zeros((rows, lanes), jnp.int32))
-        out_ref[0] = acc
+            def body(i, acc, one=one):
+                # pairwise tree keeps the add dependency chain at
+                # log2(unroll) instead of unroll (integer adds: bit-exact
+                # either way)
+                base = i * unroll
+                vals = [one(base + u) for u in range(unroll)]
+                while len(vals) > 1:
+                    vals = [vals[v] + vals[v + 1]
+                            for v in range(0, len(vals), 2)]
+                return acc + vals[0]
+
+            acc = jax.lax.fori_loop(
+                0, (n_feats + unroll - 1) // unroll, body,
+                jnp.zeros((rows, lanes), jnp.int32))
+            out_ref[g] = acc
 
     return kernel
+
+
+_COARSE_GROUP = 2  # templates per grid program (see _make_rotate_kernel)
+
+
+def _run_rotate_kernel(meta, lm_in, rows, kern_args, interpret,
+                       vmem_mb=100):
+    """Shared pallas_call for every coarse variant: pads K to a group
+    multiple (pad rows carry count 0 -> zero kernel work) and scores
+    _COARSE_GROUP templates per grid program."""
+    K, R, N = meta.shape
+    G = min(_COARSE_GROUP, K)
+    Kp = -(-K // G) * G
+    meta = jnp.pad(meta, ((0, Kp - K), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        _make_rotate_kernel(*kern_args, group=G),
+        grid=(Kp // G,),
+        in_specs=[
+            pl.BlockSpec((G, R, N), lambda k: (k, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(lm_in.shape, lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, rows, 128), lambda k: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Kp, rows, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 2**20),
+        interpret=interpret,
+    )(meta, lm_in)
+    return out[:K]
 
 
 def _unroll_for(rows: int, leaf_factor: int = 1) -> int:
@@ -266,25 +303,8 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
             unroll = _unroll_for(rows_w)
             meta = _build_meta(plane, shift, nf, unit=4, copies=4, C=C,
                                rows=rows_w, unroll=unroll)
-            N = meta.shape[2]
-            Sp = pl.pallas_call(
-                _make_rotate_kernel(unroll),
-                grid=(K,),
-                in_specs=[
-                    pl.BlockSpec((1, 4, N), lambda k: (k, 0, 0),
-                                 memory_space=pltpu.SMEM),
-                    pl.BlockSpec((4 * (C + 1), rows_w, 128),
-                                 lambda k: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((1, rows_w, 128),
-                                       lambda k: (k, 0, 0),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((K, rows_w, 128), jnp.int32),
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 2**20),
-                interpret=interpret,
-            )(meta, lm4)
+            Sp = _run_rotate_kernel(meta, lm4, rows_w, (unroll,),
+                                    interpret)
         else:
             lm3p = jax.lax.bitcast_convert_type(
                 lm3.reshape(C + 1, rows_w * 128, 4), jnp.int32
@@ -292,24 +312,9 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
             unroll = _unroll_for(rows_w, leaf_factor=2)
             meta = _build_meta(plane, shift, nf, unit=4, copies=1, C=C,
                                rows=rows_w, unroll=unroll, stitch=True)
-            N = meta.shape[2]
-            Sp = pl.pallas_call(
-                _make_rotate_kernel(unroll, stitch=True),
-                grid=(K,),
-                in_specs=[
-                    pl.BlockSpec((1, 6, N), lambda k: (k, 0, 0),
-                                 memory_space=pltpu.SMEM),
-                    pl.BlockSpec((C + 1, rows_w, 128), lambda k: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((1, rows_w, 128),
-                                       lambda k: (k, 0, 0),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((K, rows_w, 128), jnp.int32),
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=64 * 2**20),
-                interpret=interpret,
-            )(meta, lm3p)
+            Sp = _run_rotate_kernel(meta, lm3p, rows_w,
+                                    (unroll, False, True), interpret,
+                                    vmem_mb=64)
         # unpack bytes -> cells; widen once so downstream integer
         # arithmetic (score * 100) cannot overflow a u8.
         S = jax.lax.bitcast_convert_type(Sp, jnp.uint8).reshape(
@@ -326,25 +331,7 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
         unroll = _unroll_for(rows_w2)
         meta = _build_meta(plane, shift, nf, unit=2, copies=2, C=C,
                            rows=rows_w2, unroll=unroll)
-        N = meta.shape[2]
-        Sp = pl.pallas_call(
-            _make_rotate_kernel(unroll),
-            grid=(K,),
-            in_specs=[
-                pl.BlockSpec((1, 4, N), lambda k: (k, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((2 * (C + 1), rows_w2, 128),
-                             lambda k: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, rows_w2, 128),
-                                   lambda k: (k, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((K, rows_w2, 128), jnp.int32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 2**20),
-            interpret=interpret,
-        )(meta, lmw)
+        Sp = _run_rotate_kernel(meta, lmw, rows_w2, (unroll,), interpret)
         lo = Sp & 0xFFFF
         hi = (Sp >> 16) & 0xFFFF
         S = jnp.stack([lo, hi], axis=-1).reshape(K, M_pad)[:, :M]
@@ -352,27 +339,12 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
         unroll = _unroll_for(rows)
         meta = _build_meta(plane, shift, nf, unit=1, copies=1, C=C,
                            rows=rows, unroll=unroll)
-        N = meta.shape[2]
-        S = pl.pallas_call(
-            _make_rotate_kernel(unroll, widen=True),
-            grid=(K,),
-            in_specs=[
-                pl.BlockSpec((1, 4, N), lambda k: (k, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((C + 1, rows, 128), lambda k: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, rows, 128), lambda k: (k, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((K, rows, 128), jnp.int32),
-            # Under vmap (frame-batched match) the LM block index varies
-            # with the prepended batch grid dim, so Pallas double-buffers
-            # the LM block; at T=4 that is 2 x 8.6 MB and busts the
-            # default 16 MB scoped-vmem limit. v5e/v6 have 128 MB VMEM.
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 2**20),
-            interpret=interpret,
-        )(meta, lm3)
+        # Under vmap (frame-batched match) the LM block index varies
+        # with the prepended batch grid dim, so Pallas double-buffers
+        # the LM block; at T=4 that is 2 x 8.6 MB and busts the
+        # default 16 MB scoped-vmem limit. v5e/v6 have 128 MB VMEM.
+        S = _run_rotate_kernel(meta, lm3, rows, (unroll, True), interpret,
+                               vmem_mb=64)
         S = S.reshape(K, M_pad)[:, :M]
     wf = (bank.width - 1) // T + 1
     hf = (bank.height - 1) // T + 1
