@@ -1,0 +1,80 @@
+"""Randomized end-to-end parity: Detector.match vs the NumPy oracle.
+
+The golden suites pin the bundled case0/1/2 configs against the compiled
+C++ reference; this fuzz layer composes the same scalar oracle
+primitives into the full matchClass orchestration
+(oracle.match_class, line2Dup.cpp:1160-1297) and checks the framework's
+device pipeline against it on RANDOM configs — image sizes, feature
+counts, template shapes, thresholds — that no golden case covers.
+Training is shared (detector-trained templates feed both sides), so any
+mismatch isolates to the match pipeline.
+"""
+
+import numpy as np
+import pytest
+
+from shape_based_matching_tpu.models.detector import Detector
+from shape_based_matching_tpu.oracle import reference as oracle
+from shape_based_matching_tpu.utils.synthetic import (synthetic_scene,
+                                                      synthetic_shape_image)
+
+
+def _oracle_tps(det, class_id):
+    """Detector templates -> oracle dict form (per template, per level)."""
+    tps = []
+    for tid in range(det.num_templates(class_id)):
+        tp = det.get_templates(class_id, tid)
+        tps.append([
+            {
+                "features": [(f.x, f.y, f.label) for f in t.features],
+                "width": t.width,
+                "height": t.height,
+            }
+            for t in tp
+        ])
+    return tps
+
+
+def _match_sets(matches):
+    """Distinct (template, x, y, score) tuples: multiple coarse
+    candidates can refine to the same location; the C++ sort+unique and
+    the framework's _sort_dedup both collapse those exact duplicates."""
+    return sorted({(m.template_id, m.x, m.y,
+                    round(float(m.similarity), 4)) for m in matches})
+
+
+def _oracle_sets(matches, threshold):
+    return sorted({(m["template_id"], m["x"], m["y"],
+                    round(float(m["similarity"]), 4)) for m in matches})
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fuzz_match_parity(seed):
+    rng = np.random.RandomState(seed)
+    h = 16 * rng.randint(10, 24)       # 160..368
+    w = 16 * rng.randint(10, 24)
+    templ_size = int(rng.choice([96, 128, 160]))
+    nfeat = int(rng.choice([31, 63, 100]))
+    threshold = float(rng.choice([75.0, 85.0, 92.0]))
+    n_inst = rng.randint(1, 4)
+
+    det = Detector(num_features=nfeat, T=(4, 8))
+    templ = synthetic_shape_image(templ_size, seed=seed + 10)
+    tid = det.add_template(templ, "fuzz", np.full_like(templ, 255))
+    assert tid == 0
+    for a in (37.0, 90.0, 203.5):
+        det.add_template_rotate("fuzz", 0, a,
+                                (templ_size / 2.0, templ_size / 2.0))
+
+    scene = synthetic_scene(h, w, templ, n_instances=n_inst,
+                            seed=seed + 20)
+
+    got = det.match(scene, threshold, ["fuzz"])
+
+    lms, sizes = oracle.build_lm_pyramid(
+        scene, det.weak_threshold, det.T_at_level)
+    want = oracle.match_class(lms, sizes, det.T_at_level,
+                              _oracle_tps(det, "fuzz"), threshold, "fuzz")
+
+    assert _match_sets(got) == _oracle_sets(want, threshold), (
+        f"seed={seed} h={h} w={w} nfeat={nfeat} thr={threshold}")
