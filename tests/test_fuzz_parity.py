@@ -48,8 +48,10 @@ def _oracle_sets(matches, threshold):
                     round(float(m["similarity"]), 4)) for m in matches})
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_fuzz_match_parity(seed):
+@pytest.mark.parametrize("seed,variant",
+                         [(0, "gray"), (1, "gray"), (2, "gray"),
+                          (3, "gray"), (4, "color"), (5, "mask")])
+def test_fuzz_match_parity(seed, variant):
     rng = np.random.RandomState(seed)
     h = 16 * rng.randint(10, 24)       # 160..368
     w = 16 * rng.randint(10, 24)
@@ -68,13 +70,25 @@ def test_fuzz_match_parity(seed):
 
     scene = synthetic_scene(h, w, templ, n_instances=n_inst,
                             seed=seed + 20)
+    mask = None
+    if variant == "color":
+        # BGR scene with per-channel noise: exercises the max-channel
+        # gradient path on both sides
+        scene = np.stack([scene,
+                          np.clip(scene.astype(np.int16) + 12, 0, 255)
+                          .astype(np.uint8),
+                          scene // 2], axis=-1)
+    elif variant == "mask":
+        mask = np.zeros((h, w), np.uint8)
+        mask[: 3 * h // 4, : 3 * w // 4] = 255  # exclude a border band
 
-    got = det.match(scene, threshold, ["fuzz"])
+    got = det.match(scene, threshold, ["fuzz"], mask=mask)
 
     lms, sizes = oracle.build_lm_pyramid(
-        scene, det.weak_threshold, det.T_at_level)
+        scene, det.weak_threshold, det.T_at_level, mask=mask)
     want = oracle.match_class(lms, sizes, det.T_at_level,
                               _oracle_tps(det, "fuzz"), threshold, "fuzz")
 
     assert _match_sets(got) == _oracle_sets(want, threshold), (
-        f"seed={seed} h={h} w={w} nfeat={nfeat} thr={threshold}")
+        f"seed={seed} variant={variant} h={h} w={w} nfeat={nfeat} "
+        f"thr={threshold}")
