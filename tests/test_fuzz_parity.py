@@ -50,17 +50,22 @@ def _oracle_sets(matches, threshold):
 
 @pytest.mark.parametrize("seed,variant",
                          [(0, "gray"), (1, "gray"), (2, "gray"),
-                          (3, "gray"), (4, "color"), (5, "mask")])
+                          (3, "gray"), (4, "color"), (5, "mask"),
+                          (6, "16ori"), (7, "3level")])
 def test_fuzz_match_parity(seed, variant):
     rng = np.random.RandomState(seed)
-    h = 16 * rng.randint(10, 24)       # 160..368
-    w = 16 * rng.randint(10, 24)
+    # 3 levels need 8*2^2-tileable dims (T=8 two pyrDowns up)
+    stride = 32 if variant == "3level" else 16
+    h = stride * rng.randint(160 // stride, 384 // stride)
+    w = stride * rng.randint(160 // stride, 384 // stride)
     templ_size = int(rng.choice([96, 128, 160]))
     nfeat = int(rng.choice([31, 63, 100]))
     threshold = float(rng.choice([75.0, 85.0, 92.0]))
     n_inst = rng.randint(1, 4)
 
-    det = Detector(num_features=nfeat, T=(4, 8))
+    n_ori = 16 if variant == "16ori" else 8
+    T = (2, 4, 8) if variant == "3level" else (4, 8)
+    det = Detector(num_features=nfeat, T=T, num_orientations=n_ori)
     templ = synthetic_shape_image(templ_size, seed=seed + 10)
     tid = det.add_template(templ, "fuzz", np.full_like(templ, 255))
     assert tid == 0
@@ -85,7 +90,7 @@ def test_fuzz_match_parity(seed, variant):
     got = det.match(scene, threshold, ["fuzz"], mask=mask)
 
     lms, sizes = oracle.build_lm_pyramid(
-        scene, det.weak_threshold, det.T_at_level, mask=mask)
+        scene, det.weak_threshold, det.T_at_level, n_ori=n_ori, mask=mask)
     want = oracle.match_class(lms, sizes, det.T_at_level,
                               _oracle_tps(det, "fuzz"), threshold, "fuzz")
 
