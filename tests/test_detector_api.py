@@ -155,3 +155,36 @@ def test_match_batch_packed_output():
          for i in np.nonzero(valid[0])[0]})
     assert sorted({(m.x, m.y, round(m.similarity, 4), m.template_id)
                    for m in want}) == got
+
+
+def test_multi_class_match_merges_per_class_results():
+    """match() over several classes == union of per-class matches
+    (matchClass is per-class independent, line2Dup.cpp:1129-1141)."""
+    import numpy as np
+
+    from shape_based_matching_tpu.models.detector import Detector
+    from shape_based_matching_tpu.utils.synthetic import (
+        synthetic_scene, synthetic_shape_image)
+
+    det = Detector(num_features=48, T=(4, 8))
+    t_a = synthetic_shape_image(96, seed=1)
+    t_b = synthetic_shape_image(96, seed=2)
+    det.add_template(t_a, "a", np.full_like(t_a, 255))
+    det.add_template_rotate("a", 0, 90.0, (48.0, 48.0))
+    det.add_template(t_b, "b", np.full_like(t_b, 255))
+
+    scene = synthetic_scene(256, 256, t_a, n_instances=1, seed=3)
+    # paste a b-instance too
+    scene[140:236, 20:116] = np.maximum(scene[140:236, 20:116], t_b)
+
+    both = det.match(scene, 80.0)  # all classes
+    only_a = det.match(scene, 80.0, ["a"])
+    only_b = det.match(scene, 80.0, ["b"])
+
+    def key(m):
+        return (m.class_id, m.template_id, m.x, m.y,
+                round(float(m.similarity), 4))
+
+    assert sorted(map(key, both)) == sorted(
+        map(key, list(only_a) + list(only_b)))
+    assert {m.class_id for m in both} == {"a", "b"}
