@@ -456,7 +456,7 @@ def _pad_image(img: np.ndarray, padding: int) -> np.ndarray:
     return np.pad(img, widths, mode="constant")
 
 
-def _demo_matches_json(matches, det, path: str) -> None:
+def _demo_matches_json(matches, path: str) -> None:
     rows = [{"class_id": m.class_id, "template_id": int(m.template_id),
              "x": int(m.x), "y": int(m.y),
              "similarity": float(m.similarity)} for m in matches]
@@ -660,8 +660,8 @@ def cmd_demo(args) -> int:
 
     result_path = os.path.join(args.out, f"{args.case}_result.png")
     ann.save(result_path)
-    _demo_matches_json(matches, det,
-                       os.path.join(args.out, f"{args.case}_matches.json"))
+    _demo_matches_json(
+        matches, os.path.join(args.out, f"{args.case}_matches.json"))
     print(f"result: {result_path}")
     return 0
 

@@ -248,7 +248,8 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
     # <= M + W (see module docstring), so pad by AT LEAST max(W, 1) extra
     # cells and fill the pad of plane p with the head of plane p+1 — the
     # exact bytes the reference's contiguous linear-memory Mat holds there.
-    # Packed mode: 4 LM bytes per i32 lane (see _coarse_kernel_packed).
+    # Packed mode: 4 LM bytes per i32 lane (stitch variant of
+    # _make_rotate_kernel; preshifted copies when VMEM allows).
     # Exact iff no byte sum can overflow: max_response * slot_count <= 255
     # (N bounds nfeat, so the gate is static). Padding granularity rises to
     # 4096 so the packed word grid keeps 8-aligned sublanes (Mosaic's

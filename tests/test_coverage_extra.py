@@ -129,3 +129,28 @@ def test_crop_templates_negative_odd_min_keeps_c_remainder():
                         {"x": 10, "y": 12, "label": 1}]}]
     oracle.crop_templates(ot)
     assert (ot[0]["tl_x"], ot[0]["tl_y"]) == (-3, -5)
+
+
+def test_similarity_edge_overread_matches_framework(rng):
+    """Features at fx == width / fy == height with T | width: the C++
+    flat read runs past the plane into the next grid row
+    (line2Dup.cpp:843-856, no clamp). The oracle's full-image similarity
+    must reproduce those continuation bytes exactly like the framework
+    paths do (regression: the oracle used to clamp at the plane end)."""
+    T = 8
+    h = w = 128
+    q = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    lm = np.asarray(response.build_linear_memories(jnp.asarray(q), T))
+    M = (h // T) * (w // T)
+    # 24x24 template (T | 24) with max-x/max-y features AT the bbox edge
+    # (crop_templates places them there): off + positions > M.
+    feats = [(24, 24, 2), (24, 8, 5), (16, 24, 7), (0, 0, 1), (13, 7, 3)]
+    bank = similarity.pack_level_bank(
+        [{"features": feats, "width": 24, "height": 24}])
+    lmflat = jnp.concatenate([jnp.asarray(lm.reshape(-1)),
+                              jnp.zeros((M,), jnp.uint8)])
+    S, positions = similarity.coarse_similarity(lmflat, bank, T, (w, h))
+    assert int(positions[0]) + 51 > M  # the config does overread
+    want = oracle.similarity(lm, feats, (24, 24), (w, h), T)
+    np.testing.assert_array_equal(
+        np.asarray(S).reshape(h // T, w // T), want.astype(np.int32))

@@ -43,7 +43,7 @@ def _match_sets(matches):
                     round(float(m.similarity), 4)) for m in matches})
 
 
-def _oracle_sets(matches, threshold):
+def _oracle_sets(matches):
     return sorted({(m["template_id"], m["x"], m["y"],
                     round(float(m["similarity"]), 4)) for m in matches})
 
@@ -94,6 +94,6 @@ def test_fuzz_match_parity(seed, variant):
     want = oracle.match_class(lms, sizes, det.T_at_level,
                               _oracle_tps(det, "fuzz"), threshold, "fuzz")
 
-    assert _match_sets(got) == _oracle_sets(want, threshold), (
+    assert _match_sets(got) == _oracle_sets(want), (
         f"seed={seed} variant={variant} h={h} w={w} nfeat={nfeat} "
         f"thr={threshold}")
