@@ -154,3 +154,26 @@ def test_similarity_edge_overread_matches_framework(rng):
     want = oracle.similarity(lm, feats, (24, 24), (w, h), T)
     np.testing.assert_array_equal(
         np.asarray(S).reshape(h // T, w // T), want.astype(np.int32))
+
+
+def test_similarity_8191_feature_cap(rng):
+    """The reference's hard cap: 8191 features per template
+    (line2Dup.cpp:811,931 u16 mode; >=8192 raises CV_Error). The XLA
+    accumulation must stay exact at the cap (max raw sum 4*8191 = 32764
+    fits u16 like the C++), and the framework must reject beyond it."""
+    T = 8
+    h = w = 64
+    q = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    lm = np.asarray(response.build_linear_memories(jnp.asarray(q), T))
+    M = (h // T) * (w // T)
+    feats = [(int(rng.randint(0, 48)), int(rng.randint(0, 48)),
+              int(rng.randint(0, 8))) for _ in range(8191)]
+    bank = similarity.pack_level_bank(
+        [{"features": feats, "width": 48, "height": 48}])
+    lmflat = jnp.concatenate([jnp.asarray(lm.reshape(-1)),
+                              jnp.zeros((M,), jnp.uint8)])
+    S, _ = similarity.coarse_similarity(lmflat, bank, T, (w, h))
+    want = oracle.similarity(lm, feats, (48, 48), (w, h), T)
+    np.testing.assert_array_equal(
+        np.asarray(S).reshape(h // T, w // T), want.astype(np.int32))
+    assert int(np.asarray(S).max()) <= 4 * 8191
