@@ -230,25 +230,51 @@ def multichip_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
 
 
 def match_images_sharded(detector, images, threshold: float,
-                         mesh: Mesh | None = None, class_id: str | None = None,
+                         mesh: Mesh | None = None,
+                         class_id=None,
                          cand_cap: int = 256, distinct_cap: int = 64):
     """Host convenience: run the full sharded match for a batch of frames
     and assemble Match lists exactly like Detector.match (sort + dedup).
 
+    `class_id`: a class name, a list of class names, or None for every
+    trained class (Detector.match semantics; matchClass is per-class
+    independent, line2Dup.cpp:1129-1141 — each class runs its own
+    sharded step, so multi-class calls rebuild the frame pyramid per
+    class).
+
     The reference has no multi-frame or multi-device path at all; this is
     the TPU-native scale-out of line2Dup.cpp:1078-1150 over frames x bank.
     """
-    from ..models.detector import Match
+    from ..models.detector import _sort_dedup
 
     if mesh is None:
         mesh = make_mesh()
+    if class_id is None:
+        class_ids = detector.class_ids()
+    elif isinstance(class_id, str):
+        class_ids = [class_id]
+    else:
+        class_ids = list(class_id)
+
     images = np.asarray(images)
+    merged = [[] for _ in range(images.shape[0])]
+    for cid in class_ids:
+        per_class = _match_images_sharded_one(
+            detector, images, threshold, mesh, cid, cand_cap, distinct_cap)
+        for b, ms in enumerate(per_class):
+            merged[b].extend(ms)
+    return [_sort_dedup(ms) for ms in merged]
+
+
+def _match_images_sharded_one(detector, images, threshold: float,
+                              mesh: Mesh, class_id: str,
+                              cand_cap: int, distinct_cap: int):
+    from ..models.detector import Match
+
     assert images.ndim in (3, 4)
     gray = images.ndim == 3
     h, w = images.shape[1:3]
     detector._validate_size((h, w))
-    if class_id is None:
-        (class_id,) = detector.class_ids()
     n_data = mesh.devices.shape[0]
     if images.shape[0] % n_data:
         raise ValueError(f"batch {images.shape[0]} not divisible by the "
@@ -281,23 +307,12 @@ def match_images_sharded(detector, images, threshold: float,
         warnings.warn(f"distinct-template overflow: {int(nd.max())} > "
                       f"{distinct_cap}; raise distinct_cap for full parity")
 
-    out = []
-    for b in range(images.shape[0]):
-        matches = [
-            Match(int(x[b, i]), int(y[b, i]), float(sc[b, i]), class_id,
-                  int(k[b, i]))
-            for i in np.nonzero(valid[b] & (k[b] < K))[0]
-        ]
-        matches.sort(key=lambda m: (-m.similarity, m.template_id, m.x, m.y,
-                                    m.class_id))
-        dedup, seen = [], set()
-        for m in matches:
-            key = (m.x, m.y, m.similarity, m.class_id, m.template_id)
-            if key not in seen:
-                seen.add(key)
-                dedup.append(m)
-        out.append(dedup)
-    return out
+    return [
+        [Match(int(x[b, i]), int(y[b, i]), float(sc[b, i]), class_id,
+               int(k[b, i]))
+         for i in np.nonzero(valid[b] & (k[b] < K))[0]]
+        for b in range(images.shape[0])
+    ]
 
 
 def multichip_train_step(mesh: Mesh, size_hw: tuple):

@@ -127,3 +127,41 @@ def test_graft_entry_dryrun():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_multi_class_sharded_equals_single_device():
+    """match_images_sharded over several classes == Detector.match (which
+    merges per-class matchClass results, line2Dup.cpp:1129-1141)."""
+    import numpy as np
+
+    from shape_based_matching_tpu.models.detector import Detector
+    from shape_based_matching_tpu.parallel.mesh import (make_mesh,
+                                                        match_images_sharded)
+    from shape_based_matching_tpu.utils.synthetic import (
+        synthetic_scene, synthetic_shape_image)
+
+    det = Detector(num_features=48, T=(4, 8))
+    t_a = synthetic_shape_image(96, seed=1)
+    t_b = synthetic_shape_image(96, seed=2)
+    det.add_template(t_a, "a", np.full_like(t_a, 255))
+    det.add_template_rotate("a", 0, 90.0, (48.0, 48.0))
+    det.add_template(t_b, "b", np.full_like(t_b, 255))
+
+    frames = []
+    for s in (3, 4):
+        scene = synthetic_scene(256, 256, t_a, n_instances=1, seed=s)
+        scene[140:236, 20:116] = np.maximum(scene[140:236, 20:116], t_b)
+        frames.append(scene)
+    frames = np.stack(frames)
+
+    mesh = make_mesh(8)
+    sharded = match_images_sharded(det, frames, 80.0, mesh=mesh)
+    single = [det.match(f, 80.0) for f in frames]
+
+    def key(m):
+        return (m.class_id, m.template_id, m.x, m.y,
+                round(float(m.similarity), 4))
+
+    for a, b in zip(sharded, single):
+        assert sorted(map(key, a)) == sorted(map(key, b))
+        assert {m.class_id for m in a} == {"a", "b"}
