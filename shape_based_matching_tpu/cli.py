@@ -666,6 +666,53 @@ def cmd_demo(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Compute-backend self-report (the MIPP_test analog,
+    test.cpp:526-547: instruction set, register width, int8 op support —
+    here: JAX backend, device kind, and which kernel variants the given
+    matching config selects)."""
+    import jax
+
+    from .ops.pallas.frontend_pallas import frontend_supported
+    from .ops.pallas.refine_pallas import (map_refine_supported,
+                                           window_refine_supported)
+    from .ops.similarity import use_pallas_default
+    from . import native
+
+    print("shape_based_matching_tpu backend report")
+    print("---------------------------------------")
+    print(f"jax version:        {jax.__version__}")
+    print(f"backend platform:   {jax.default_backend()}")
+    devs = jax.devices()
+    print(f"devices:            {len(devs)} x {devs[0].device_kind}")
+    print(f"pallas kernels:     "
+          f"{'ON (TPU)' if use_pallas_default() else 'off (XLA fallback)'}"
+          f"{' [interpret]' if os.environ.get('SBM_PALLAS_INTERPRET') == '1' else ''}")
+    print(f"native host lib:    "
+          f"{'loaded' if native.load() is not None else 'pure-Python fallback'}")
+
+    h, w = (int(v) for v in args.size.split("x"))
+    T = tuple(int(t) for t in args.T.split(","))
+    n_ori = int(args.n_ori)
+    nfeat = int(args.num_features)
+    max_resp = 4 if n_ori == 8 else 8
+    print(f"\nconfig {w}x{h}, T={T}, n_ori={n_ori}, "
+          f"{nfeat} features:")
+    print(f"  fused frontend:   "
+          f"{'yes' if frontend_supported((h, w), True, n_ori, False, False) else 'no (XLA chain)'}")
+    if nfeat * max_resp <= 255:
+        coarse = "packed4 (byte-preshifted, 4 cells/lane)"
+    elif nfeat * max_resp <= 65535:
+        coarse = "packed2 (u16 halves, 2 cells/lane)"
+    else:
+        coarse = "unpacked i32"
+    print(f"  coarse kernel:    {coarse}")
+    sz0 = (w, h)
+    print(f"  refinement:       "
+          f"{'window kernel' if window_refine_supported(sz0, T[0], n_ori) else ('map kernel' if map_refine_supported(sz0, T[0], 64) else 'exact XLA path')}")
+    return 0
+
+
 def main(argv=None) -> int:
     # Persistent compile cache: TPU compiles are expensive (seconds to
     # minutes via remote-compile tunnels); warm runs of the same shapes
@@ -770,6 +817,14 @@ def main(argv=None) -> int:
     dm.add_argument("--no-use-rot", dest="use_rot", action="store_false")
     dm.add_argument("--gray", action="store_true")
     dm.set_defaults(fn=cmd_demo)
+
+    inf = sub.add_parser(
+        "info", help="backend / kernel-selection report (MIPP_test analog)")
+    inf.add_argument("--size", default="1024x1024", help="HxW, e.g. 1024x1024")
+    inf.add_argument("--T", default="4,8")
+    inf.add_argument("--n-ori", default="8")
+    inf.add_argument("--num-features", default="63")
+    inf.set_defaults(fn=cmd_info)
 
     args = ap.parse_args(argv)
     return args.fn(args)

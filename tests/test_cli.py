@@ -72,3 +72,8 @@ def test_cli_train_and_match(tmp_path):
         content = f.read()
     assert content.startswith("stat,MATCH,NMS,VERIFY")
     assert os.path.exists(os.path.join(out_dir, "scene.png.match.png"))
+
+
+def test_cli_info():
+    rc = main(["info", "--size", "512x512"])
+    assert rc == 0
