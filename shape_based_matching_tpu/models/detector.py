@@ -301,6 +301,7 @@ class Detector:
         self.strong_threshold = float(strong_threshold)
         self.class_templates: dict[str, list[TemplatePyramid]] = {}
         self._banks: dict[str, list[LevelBank]] = {}
+        self._merged_banks: dict[tuple, tuple] = {}
         # id(bank) -> (max width, max height) on the host (see
         # _is_pathological)
         self._bank_maxdims: dict[int, tuple[int, int]] = {}
@@ -347,8 +348,7 @@ class Detector:
         crop_templates(tp)
         pyramids = self.class_templates.setdefault(class_id, [])
         pyramids.append(tp)
-        for b in self._banks.pop(class_id, None) or []:
-            self._bank_maxdims.pop(id(b), None)
+        self._invalidate_banks(class_id)
         return len(pyramids) - 1
 
     def add_template_rotate(self, class_id: str, zero_id: int, theta: float,
@@ -362,8 +362,7 @@ class Detector:
                                                self.num_orientations)
         crop_templates(tp)
         pyramids.append(tp)
-        for b in self._banks.pop(class_id, None) or []:
-            self._bank_maxdims.pop(id(b), None)
+        self._invalidate_banks(class_id)
         return len(pyramids) - 1
 
     def get_templates(self, class_id: str, template_id: int) -> TemplatePyramid:
@@ -488,9 +487,29 @@ class Detector:
         class_ids = [c for c in class_ids if c in self.class_templates]
 
         B = sources.shape[0]
+
+        # Merged multi-class fast path: matchClass is per-class
+        # independent, so the concatenated bank scores in ONE device
+        # program per batch — many-class registries (the jabil per-tag
+        # case) pay one launch instead of len(class_ids). Results map
+        # back through (class_of_k, tid_of_k); packed-dict callers
+        # (as_matches=False) keep the per-class layout.
+        merged_map = None
+        if as_matches and len(class_ids) > 1:
+            banks_m, class_of_k, tid_of_k = self._get_merged_banks(
+                tuple(class_ids))
+            merged_map = (class_of_k, tid_of_k)
+            groups = [("\x00merged", banks_m)]
+            # caps are shared by every class in the one program
+            eff_cand_cap = min(int(cand_cap) * len(class_ids), 4096)
+            eff_distinct_cap = int(distinct_cap) * len(class_ids)
+        else:
+            groups = [(c, self._get_banks(c)) for c in class_ids]
+            eff_cand_cap = int(cand_cap)
+            eff_distinct_cap = int(distinct_cap)
+
         packed = {}
-        for class_id in class_ids:
-            banks = self._get_banks(class_id)
+        for group_id, banks in groups:
             K = int(banks[-1].fx.shape[0])
             pathological = tuple(
                 self._is_pathological(banks[l], sizes[l],
@@ -500,7 +519,11 @@ class Detector:
             def _refine_mode(l):
                 if not use_pallas:
                     return ""
-                if (cand_cap < 1024 or pathological[l]) and \
+                # window cost scales with REAL candidates (skip_invalid),
+                # not the cap, so prefer it up to large caps; map mode
+                # only wins when thousands of candidates are actually
+                # live (the deep escalation buckets).
+                if (eff_cand_cap <= 4096 or pathological[l]) and \
                         window_refine_supported(sizes[l],
                                                 self.T_at_level[l],
                                                 self.num_orientations):
@@ -508,7 +531,7 @@ class Detector:
                 if (not pathological[l]
                         and map_refine_supported(
                             sizes[l], self.T_at_level[l],
-                            min(int(distinct_cap), K))):
+                            min(eff_distinct_cap, K))):
                     return "map"
                 return ""
 
@@ -517,9 +540,9 @@ class Detector:
             k, x, y, sc, valid, overflow = _match_batch_class(
                 lms, tuple(banks), jnp.float32(threshold),
                 self.T_at_level, self.pyramid_levels, use_pallas, sizes,
-                int(cand_cap), min(int(distinct_cap), K), pathological,
+                eff_cand_cap, min(eff_distinct_cap, K), pathological,
                 window_ok)
-            packed[class_id] = (k, x, y, sc, valid, overflow)
+            packed[group_id] = (k, x, y, sc, valid, overflow)
 
         if not as_matches:
             return packed
@@ -542,22 +565,30 @@ class Detector:
         host = np.asarray(stacked)
 
         out: list[list[Match]] = []
+        group_ids = list(packed.keys())
         for b in range(B):
             frame_matches: list[Match] = []
-            for ci, class_id in enumerate(class_ids):
+            for ci, group_id in enumerate(group_ids):
                 k, x, y, sc_bits, valid, overflow = host[ci, b]
                 if overflow[0]:
                     # rare: exceed static caps -> exact escalating path
+                    ids = class_ids if merged_map else [group_id]
                     frame_matches.extend(
                         self._match_escalating(
-                            np.asarray(sources[b]), threshold, [class_id],
+                            np.asarray(sources[b]), threshold, ids,
                             np.asarray(masks[b]) if has_mask else None))
                     continue
                 sc = sc_bits.view(np.float32)
                 for i in np.nonzero(valid)[0]:
+                    kk = int(k[i])
+                    if merged_map is not None:
+                        cid = class_ids[int(merged_map[0][kk])]
+                        tid = int(merged_map[1][kk])
+                    else:
+                        cid, tid = group_id, kk
                     frame_matches.append(
                         Match(int(x[i]), int(y[i]), float(sc[i]),
-                              class_id, int(k[i])))
+                              cid, tid))
             out.append(_sort_dedup(frame_matches))
         return out
 
@@ -708,6 +739,53 @@ class Detector:
             h //= 2
             w //= 2
 
+    def _invalidate_banks(self, class_id: str) -> None:
+        for b in self._banks.pop(class_id, None) or []:
+            self._bank_maxdims.pop(id(b), None)
+        for key in [k for k in self._merged_banks if class_id in k]:
+            for b in self._merged_banks.pop(key)[0]:
+                self._bank_maxdims.pop(id(b), None)
+
+    def _get_merged_banks(self, class_ids: tuple):
+        """One LevelBank spanning several classes. matchClass is
+        per-class independent (line2Dup.cpp:1129-1141), so scoring the
+        concatenated bank in ONE device launch is exact; the global
+        template index k maps back through (class_of_k, tid_of_k).
+        Feature slots pad to the widest class's N (exactness is per
+        template; padding slots are dead)."""
+        cached = self._merged_banks.get(class_ids)
+        if cached is not None:
+            return cached
+        per_class = [self._get_banks(c) for c in class_ids]
+        banks = []
+        for l in range(self.pyramid_levels):
+            parts = [pc[l] for pc in per_class]
+            N = max(int(p.fx.shape[1]) for p in parts)
+
+            def pad_n(a):
+                return jnp.pad(a, ((0, 0), (0, N - a.shape[1])))
+
+            bank = LevelBank(
+                fx=jnp.concatenate([pad_n(p.fx) for p in parts]),
+                fy=jnp.concatenate([pad_n(p.fy) for p in parts]),
+                label=jnp.concatenate([pad_n(p.label) for p in parts]),
+                valid=jnp.concatenate([pad_n(p.valid) for p in parts]),
+                nfeat=jnp.concatenate([p.nfeat for p in parts]),
+                width=jnp.concatenate([p.width for p in parts]),
+                height=jnp.concatenate([p.height for p in parts]),
+            )
+            self._bank_maxdims[id(bank)] = (
+                max(self._bank_maxdims[id(p)][0] for p in parts),
+                max(self._bank_maxdims[id(p)][1] for p in parts))
+            banks.append(bank)
+        ks = [int(pc[0].fx.shape[0]) for pc in per_class]
+        class_of_k = np.repeat(np.arange(len(class_ids)), ks)
+        tid_of_k = np.concatenate(
+            [np.arange(kk, dtype=np.int64) for kk in ks])
+        cached = (banks, class_of_k, tid_of_k)
+        self._merged_banks[class_ids] = cached
+        return cached
+
     def _get_banks(self, class_id: str) -> list[LevelBank]:
         banks = self._banks.get(class_id)
         if banks is None:
@@ -756,6 +834,7 @@ class Detector:
         self.num_orientations = int(doc.get("num_orientations", 8))
         self.class_templates.clear()
         self._banks.clear()
+        self._merged_banks.clear()
         self._bank_maxdims.clear()
 
     def save_settings(self, path: str, templates_dir: str | None = None,
@@ -800,8 +879,7 @@ class Detector:
             tp = [Template.from_yaml(t) for t in tp_node.get("templates", [])]
             pyramids.append(tp)
         self.class_templates[class_id] = pyramids
-        for b in self._banks.pop(class_id, None) or []:
-            self._bank_maxdims.pop(id(b), None)
+        self._invalidate_banks(class_id)
         return class_id
 
     def write_classes(self, fmt: str = "templates_%s.yml.gz") -> None:

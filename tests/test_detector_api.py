@@ -188,3 +188,45 @@ def test_multi_class_match_merges_per_class_results():
     assert sorted(map(key, both)) == sorted(
         map(key, list(only_a) + list(only_b)))
     assert {m.class_id for m in both} == {"a", "b"}
+
+
+def test_merged_many_class_match_heterogeneous_banks():
+    """Merged multi-class program (one launch for all classes) must be
+    exact when classes have different feature counts (bank N padding)
+    and template sizes."""
+    import numpy as np
+
+    from shape_based_matching_tpu.models.detector import Detector
+    from shape_based_matching_tpu.utils.synthetic import (
+        synthetic_scene, synthetic_shape_image)
+
+    det = Detector(num_features=63, T=(4, 8))
+    templs = {}
+    for i, (cid, size, nfeat) in enumerate(
+            [("c0", 80, 20), ("c1", 96, 63), ("c2", 112, 100),
+             ("c3", 96, 40)]):
+        t = synthetic_shape_image(size, seed=10 + i)
+        templs[cid] = t
+        det.add_template(t, cid, np.full_like(t, 255), num_features=nfeat)
+        det.add_template_rotate(cid, 0, 45.0 + 10 * i,
+                                (size / 2.0, size / 2.0))
+
+    scene = synthetic_scene(320, 320, templs["c0"], 1, seed=30)
+    for i, cid in enumerate(["c1", "c2", "c3"]):
+        t = templs[cid]
+        y0, x0 = 40 + 60 * i, 160
+        scene[y0:y0 + t.shape[0], x0:x0 + t.shape[1]] = np.maximum(
+            scene[y0:y0 + t.shape[0], x0:x0 + t.shape[1]],
+            t[: 320 - y0, : 320 - x0])
+
+    merged = det.match(scene, 75.0)  # all 4 classes in one program
+    per_class = []
+    for cid in det.class_ids():
+        per_class.extend(det.match(scene, 75.0, [cid]))
+
+    def key(m):
+        return (m.class_id, m.template_id, m.x, m.y,
+                round(float(m.similarity), 4))
+
+    assert sorted(map(key, merged)) == sorted(map(key, per_class))
+    assert len({m.class_id for m in merged}) >= 3
