@@ -257,18 +257,29 @@ def match_images_sharded(detector, images, threshold: float,
         class_ids = list(class_id)
 
     images = np.asarray(images)
-    merged = [[] for _ in range(images.shape[0])]
-    for cid in class_ids:
-        per_class = _match_images_sharded_one(
-            detector, images, threshold, mesh, cid, cand_cap, distinct_cap)
-        for b, ms in enumerate(per_class):
-            merged[b].extend(ms)
-    return [_sort_dedup(ms) for ms in merged]
+    if len(class_ids) == 1:
+        banks = detector._get_banks(class_ids[0])
+        cid0 = class_ids[0]
+        mapper = (lambda kk: (cid0, kk))
+        eff_cand, eff_dist = int(cand_cap), int(distinct_cap)
+    else:
+        # merged registry: one sharded program scores every class (the
+        # same exact-merge as Detector.match_batch; the pyramid is built
+        # once instead of once per class)
+        banks, class_of_k, tid_of_k = detector._get_merged_banks(
+            tuple(class_ids))
+        mapper = (lambda kk: (class_ids[int(class_of_k[kk])],
+                              int(tid_of_k[kk])))
+        eff_cand = min(int(cand_cap) * len(class_ids), 4096)
+        eff_dist = int(distinct_cap) * len(class_ids)
+    per = _match_images_sharded_banks(detector, images, threshold, mesh,
+                                      banks, mapper, eff_cand, eff_dist)
+    return [_sort_dedup(ms) for ms in per]
 
 
-def _match_images_sharded_one(detector, images, threshold: float,
-                              mesh: Mesh, class_id: str,
-                              cand_cap: int, distinct_cap: int):
+def _match_images_sharded_banks(detector, images, threshold: float,
+                                mesh: Mesh, banks, mapper,
+                                cand_cap: int, distinct_cap: int):
     from ..models.detector import Match
 
     assert images.ndim in (3, 4)
@@ -279,7 +290,6 @@ def _match_images_sharded_one(detector, images, threshold: float,
     if images.shape[0] % n_data:
         raise ValueError(f"batch {images.shape[0]} not divisible by the "
                          f"mesh data axis ({n_data}); pad the batch")
-    banks = detector._get_banks(class_id)
     n_templ = mesh.devices.shape[1]
     K = int(banks[-1].fx.shape[0])
     banks = [shard_pad_bank(b, n_templ) for b in banks]
@@ -307,12 +317,15 @@ def _match_images_sharded_one(detector, images, threshold: float,
         warnings.warn(f"distinct-template overflow: {int(nd.max())} > "
                       f"{distinct_cap}; raise distinct_cap for full parity")
 
-    return [
-        [Match(int(x[b, i]), int(y[b, i]), float(sc[b, i]), class_id,
-               int(k[b, i]))
-         for i in np.nonzero(valid[b] & (k[b] < K))[0]]
-        for b in range(images.shape[0])
-    ]
+    out = []
+    for b in range(images.shape[0]):
+        ms = []
+        for i in np.nonzero(valid[b] & (k[b] < K))[0]:
+            cid, tid = mapper(int(k[b, i]))
+            ms.append(Match(int(x[b, i]), int(y[b, i]), float(sc[b, i]),
+                            cid, tid))
+        out.append(ms)
+    return out
 
 
 def multichip_train_step(mesh: Mesh, size_hw: tuple):
