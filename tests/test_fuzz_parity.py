@@ -97,3 +97,41 @@ def test_fuzz_match_parity(seed, variant):
     assert _match_sets(got) == _oracle_sets(want), (
         f"seed={seed} variant={variant} h={h} w={w} nfeat={nfeat} "
         f"thr={threshold}")
+
+
+def test_fuzz_multi_class_merged_parity():
+    """The merged multi-class program vs per-class oracle matches."""
+    rng = np.random.RandomState(77)
+    h, w = 320, 288
+    det = Detector(num_features=63, T=(4, 8))
+    templs = {}
+    for i, cid in enumerate(("a", "b", "c")):
+        t = synthetic_shape_image(96, seed=40 + i)
+        templs[cid] = t
+        det.add_template(t, cid, np.full_like(t, 255))
+        det.add_template_rotate(cid, 0, 30.0 * (i + 1), (48.0, 48.0))
+
+    scene = synthetic_scene(h, w, templs["a"], 1, seed=50)
+    scene[180:276, 20:116] = np.maximum(scene[180:276, 20:116],
+                                        templs["b"])
+    scene[40:136, 170:266] = np.maximum(scene[40:136, 170:266],
+                                        templs["c"])
+
+    got = det.match(scene, 72.0)  # merged one-program path
+    lms, sizes = oracle.build_lm_pyramid(scene, det.weak_threshold,
+                                         det.T_at_level)
+    want = []
+    for cid in det.class_ids():
+        want.extend(oracle.match_class(lms, sizes, det.T_at_level,
+                                       _oracle_tps(det, cid), 72.0, cid))
+
+    def gk(m):
+        return (m.class_id, m.template_id, m.x, m.y,
+                round(float(m.similarity), 4))
+
+    def wk(m):
+        return (m["class_id"], m["template_id"], m["x"], m["y"],
+                round(float(m["similarity"]), 4))
+
+    assert sorted({gk(m) for m in got}) == sorted({wk(m) for m in want})
+    assert len({m.class_id for m in got}) >= 2
