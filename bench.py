@@ -97,9 +97,13 @@ def _measure_case1(iters: int = 20):
         return None
     import sys
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    tests_dir = os.path.join(os.path.dirname(__file__), "tests")
+    sys.path.insert(0, tests_dir)
+    try:
+        from golden_utils import load_mat
+    finally:
+        sys.path.remove(tests_dir)
     import jax
-    from golden_utils import load_mat
 
     from shape_based_matching_tpu import Detector
 

@@ -64,6 +64,11 @@ class Match:
 # is used, so the common case stays cheap and parity is never lost.
 _CAND_BUCKETS = (256, 1024, 4096, 16384, 65536)
 
+# Merged multi-class programs clamp their shared candidate cap to 4096; a
+# frame that overflows retries ONE merged program at this cap before the
+# per-class escalating fallback (which pays len(class_ids) launches).
+_MERGED_ESCALATED_CAP = 16384
+
 
 def _sort_dedup(matches: list) -> list:
     """sort + dedup (line2Dup.cpp:1143-1145). Deliberate divergence from
@@ -495,12 +500,17 @@ class Detector:
         # back through (class_of_k, tid_of_k); packed-dict callers
         # (as_matches=False) keep the per-class layout.
         merged_map = None
+        merged_banks = None
         if as_matches and len(class_ids) > 1:
             banks_m, class_of_k, tid_of_k = self._get_merged_banks(
                 tuple(class_ids))
             merged_map = (class_of_k, tid_of_k)
+            merged_banks = banks_m
             groups = [("\x00merged", banks_m)]
-            # caps are shared by every class in the one program
+            # caps are shared by every class in the one program; the 4096
+            # clamp bounds compile time/VMEM — an overflowing frame first
+            # retries the merged program at _MERGED_ESCALATED_CAP before
+            # bouncing to the per-class escalating path.
             eff_cand_cap = min(int(cand_cap) * len(class_ids), 4096)
             eff_distinct_cap = int(distinct_cap) * len(class_ids)
         else:
@@ -510,39 +520,9 @@ class Detector:
 
         packed = {}
         for group_id, banks in groups:
-            K = int(banks[-1].fx.shape[0])
-            pathological = tuple(
-                self._is_pathological(banks[l], sizes[l],
-                                      self.T_at_level[l])
-                for l in range(self.pyramid_levels - 1)
-            )
-            def _refine_mode(l):
-                if not use_pallas:
-                    return ""
-                # window cost scales with REAL candidates (skip_invalid),
-                # not the cap, so prefer it up to large caps; map mode
-                # only wins when thousands of candidates are actually
-                # live (the deep escalation buckets).
-                if (eff_cand_cap <= 4096 or pathological[l]) and \
-                        window_refine_supported(sizes[l],
-                                                self.T_at_level[l],
-                                                self.num_orientations):
-                    return "window"
-                if (not pathological[l]
-                        and map_refine_supported(
-                            sizes[l], self.T_at_level[l],
-                            min(eff_distinct_cap, K))):
-                    return "map"
-                return ""
-
-            window_ok = tuple(_refine_mode(l)
-                              for l in range(self.pyramid_levels - 1))
-            k, x, y, sc, valid, overflow = _match_batch_class(
-                lms, tuple(banks), jnp.float32(threshold),
-                self.T_at_level, self.pyramid_levels, use_pallas, sizes,
-                eff_cand_cap, min(eff_distinct_cap, K), pathological,
-                window_ok)
-            packed[group_id] = (k, x, y, sc, valid, overflow)
+            packed[group_id] = self._run_batch_group(
+                lms, banks, threshold, sizes, eff_cand_cap,
+                eff_distinct_cap, use_pallas)
 
         if not as_matches:
             return packed
@@ -570,6 +550,25 @@ class Detector:
             frame_matches: list[Match] = []
             for ci, group_id in enumerate(group_ids):
                 k, x, y, sc_bits, valid, overflow = host[ci, b]
+                sc = sc_bits.view(np.float32)
+                if (overflow[0] and merged_map is not None
+                        and eff_cand_cap < _MERGED_ESCALATED_CAP):
+                    # busy frame under the merged clamp: retry the ONE
+                    # merged program at the escalated cap before
+                    # forfeiting it for len(class_ids) per-class loops
+                    lms_b = jax.tree_util.tree_map(
+                        lambda a: a[b:b + 1], lms)
+                    rk, rx, ry, rsc, rvalid, rovf = self._run_batch_group(
+                        lms_b, merged_banks, threshold, sizes,
+                        _MERGED_ESCALATED_CAP, _MERGED_ESCALATED_CAP,
+                        use_pallas)
+                    if not bool(np.asarray(rovf)[0]):
+                        k = np.asarray(rk)[0]
+                        x = np.asarray(rx)[0]
+                        y = np.asarray(ry)[0]
+                        sc = np.asarray(rsc)[0]
+                        valid = np.asarray(rvalid)[0]
+                        overflow = np.zeros_like(overflow)
                 if overflow[0]:
                     # rare: exceed static caps -> exact escalating path
                     ids = class_ids if merged_map else [group_id]
@@ -578,7 +577,6 @@ class Detector:
                             np.asarray(sources[b]), threshold, ids,
                             np.asarray(masks[b]) if has_mask else None))
                     continue
-                sc = sc_bits.view(np.float32)
                 for i in np.nonzero(valid)[0]:
                     kk = int(k[i])
                     if merged_map is not None:
@@ -592,6 +590,44 @@ class Detector:
             out.append(_sort_dedup(frame_matches))
         return out
 
+    def _run_batch_group(self, lms, banks, threshold, sizes,
+                         cand_cap: int, distinct_cap: int,
+                         use_pallas: bool):
+        """One _match_batch_class launch for a bank group: derives the
+        per-level refine modes (Pallas window vs map vs XLA) and the
+        pathological flags from the banks and caps."""
+        K = int(banks[-1].fx.shape[0])
+        pathological = tuple(
+            self._is_pathological(banks[l], sizes[l], self.T_at_level[l])
+            for l in range(self.pyramid_levels - 1)
+        )
+
+        def _refine_mode(l):
+            if not use_pallas:
+                return ""
+            # window cost scales with REAL candidates (skip_invalid),
+            # not the cap, so prefer it up to large caps; map mode
+            # only wins when thousands of candidates are actually
+            # live (the deep escalation buckets).
+            if (cand_cap <= 4096 or pathological[l]) and \
+                    window_refine_supported(sizes[l],
+                                            self.T_at_level[l],
+                                            self.num_orientations):
+                return "window"
+            if (not pathological[l]
+                    and map_refine_supported(
+                        sizes[l], self.T_at_level[l],
+                        min(distinct_cap, K))):
+                return "map"
+            return ""
+
+        window_ok = tuple(_refine_mode(l)
+                          for l in range(self.pyramid_levels - 1))
+        return _match_batch_class(
+            lms, tuple(banks), jnp.float32(threshold),
+            self.T_at_level, self.pyramid_levels, use_pallas, sizes,
+            cand_cap, min(distinct_cap, K), pathological, window_ok)
+
     def _is_pathological(self, bank, size_wh, T) -> bool:
         """Whether any template is wider than image - 16T. Uses the
         host-side max dims cached at bank build — a per-call
@@ -600,7 +636,15 @@ class Detector:
         70+ ms/frame through a high-latency device transport)."""
         w_img, h_img = size_wh
         border = 16 * T
-        wmax, hmax = self._bank_maxdims[id(bank)]
+        dims = self._bank_maxdims.get(id(bank))
+        if dims is None:
+            # bank from outside _get_banks/_get_merged_banks (deep copy,
+            # unpickle, caller-built sub-bank): compute once and cache —
+            # a one-time D2H sync beats a KeyError mid-match.
+            dims = (int(np.asarray(bank.width).max()),
+                    int(np.asarray(bank.height).max()))
+            self._bank_maxdims[id(bank)] = dims
+        wmax, hmax = dims
         return (w_img - wmax) < border or (h_img - hmax) < border
 
     def _match_class(self, lmflats, sizes, threshold, class_id,
@@ -752,11 +796,16 @@ class Detector:
         concatenated bank in ONE device launch is exact; the global
         template index k maps back through (class_of_k, tid_of_k).
         Feature slots pad to the widest class's N (exactness is per
-        template; padding slots are dead)."""
-        cached = self._merged_banks.get(class_ids)
+        template; padding slots are dead).
+
+        The cache key is the SORTED id tuple (callers alternating subset
+        orderings would otherwise accumulate duplicate device-resident
+        merged banks); class_of_k is remapped to the caller's order."""
+        order = tuple(sorted(class_ids))
+        cached = self._merged_banks.get(order)
         if cached is not None:
-            return cached
-        per_class = [self._get_banks(c) for c in class_ids]
+            return self._remap_merged(cached, order, class_ids)
+        per_class = [self._get_banks(c) for c in order]
         banks = []
         for l in range(self.pyramid_levels):
             parts = [pc[l] for pc in per_class]
@@ -779,12 +828,21 @@ class Detector:
                 max(self._bank_maxdims[id(p)][1] for p in parts))
             banks.append(bank)
         ks = [int(pc[0].fx.shape[0]) for pc in per_class]
-        class_of_k = np.repeat(np.arange(len(class_ids)), ks)
+        class_of_k = np.repeat(np.arange(len(order)), ks)
         tid_of_k = np.concatenate(
             [np.arange(kk, dtype=np.int64) for kk in ks])
         cached = (banks, class_of_k, tid_of_k)
-        self._merged_banks[class_ids] = cached
-        return cached
+        self._merged_banks[order] = cached
+        return self._remap_merged(cached, order, class_ids)
+
+    @staticmethod
+    def _remap_merged(cached, order: tuple, class_ids: tuple):
+        """class_of_k indices from cache (sorted) order -> caller order."""
+        banks, class_of_k, tid_of_k = cached
+        if order == class_ids:
+            return banks, class_of_k, tid_of_k
+        remap = np.array([class_ids.index(c) for c in order])
+        return banks, remap[class_of_k], tid_of_k
 
     def _get_banks(self, class_id: str) -> list[LevelBank]:
         banks = self._banks.get(class_id)

@@ -271,6 +271,14 @@ def match_images_sharded(detector, images, threshold: float,
         mapper = (lambda kk: (class_ids[int(class_of_k[kk])],
                               int(tid_of_k[kk])))
         eff_cand = min(int(cand_cap) * len(class_ids), 4096)
+        if eff_cand < int(cand_cap) * len(class_ids):
+            import warnings
+
+            warnings.warn(
+                f"merged multi-class cap clamped to {eff_cand} "
+                f"(< cand_cap*{len(class_ids)} classes = "
+                f"{int(cand_cap) * len(class_ids)}); busy frames may "
+                "overflow — the n_above warning below reports it")
         eff_dist = int(distinct_cap) * len(class_ids)
     per = _match_images_sharded_banks(detector, images, threshold, mesh,
                                       banks, mapper, eff_cand, eff_dist)

@@ -55,13 +55,27 @@ def make_spatial_mesh(n_shards: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), ("spatial",))
 
 
-def default_halo(bank_finest: LevelBank, T_levels: tuple) -> int:
-    """Halo covering frontend support + refinement reach + template
-    height, rounded up to the pyramid stride."""
-    th_max = int(np.asarray(bank_finest.height).max())
+def required_halo(banks, T_levels: tuple) -> int:
+    """Minimum halo (frame rows) for exact band-edge semantics.
+
+    Covers, for EVERY pyramid level l (a level-l template row spans 2^l
+    frame rows): the template height, the 16x16 refinement window reach
+    (8 * T_0 frame rows around the doubled origin), and the frontend
+    support (7-tap blur + sobel + vote + T-row spread + pyrDown chain,
+    bounded by 128 frame rows). `banks` is a single finest-level
+    LevelBank or the per-level bank list."""
+    if isinstance(banks, LevelBank):
+        banks = [banks]
+    th_max = max(int(np.asarray(b.height).max()) * (2 ** l)
+                 for l, b in enumerate(banks))
+    return th_max + 8 * T_levels[0] + 128
+
+
+def default_halo(banks, T_levels: tuple) -> int:
+    """required_halo rounded up to the pyramid stride (tiles must keep
+    every level's tiling contract)."""
     stride = T_levels[-1] * (2 ** (len(T_levels) - 1))
-    raw = th_max + 8 * T_levels[0] + 128
-    return -(-raw // stride) * stride
+    return -(-required_halo(banks, T_levels) // stride) * stride
 
 
 def spatial_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
@@ -176,10 +190,19 @@ def slice_tiles(image: np.ndarray, n_shards: int, halo: int) -> np.ndarray:
 
 
 def match_huge_frame(detector, image, threshold: float,
-                     mesh: Mesh | None = None, class_id: str | None = None,
+                     mesh: Mesh | None = None, class_id=None,
                      halo: int | None = None, cand_cap: int = 256):
     """Host convenience: spatially-sharded match of one frame, returning
-    the same sorted/deduped Match list as Detector.match."""
+    the same sorted/deduped Match list as Detector.match.
+
+    `class_id`: a class name, a list of names, or None for EVERY trained
+    class (the reference loops matchClass over all classes,
+    line2Dup.cpp:1129-1141) — multi-class registries run as ONE merged
+    bank per shard, exactly like Detector.match_batch's merged path.
+
+    An explicit `halo` is validated against :func:`required_halo` for the
+    selected banks — a too-small halo would silently produce inexact
+    near-band-edge scores, so it raises instead."""
     from ..models.detector import Match, _sort_dedup
 
     if mesh is None:
@@ -191,10 +214,30 @@ def match_huge_frame(detector, image, threshold: float,
     if h % n:
         raise ValueError(f"frame height {h} not divisible by {n} shards")
     if class_id is None:
-        (class_id,) = detector.class_ids()
-    banks = detector._get_banks(class_id)
+        class_ids = detector.class_ids()
+    elif isinstance(class_id, str):
+        class_ids = [class_id]
+    else:
+        class_ids = list(class_id)
+    if len(class_ids) == 1:
+        banks = detector._get_banks(class_ids[0])
+        cid0 = class_ids[0]
+        mapper = (lambda kk: (cid0, kk))
+    else:
+        banks, class_of_k, tid_of_k = detector._get_merged_banks(
+            tuple(class_ids))
+        mapper = (lambda kk: (class_ids[int(class_of_k[kk])],
+                              int(tid_of_k[kk])))
+    need = required_halo(banks, detector.T_at_level)
     if halo is None:
-        halo = default_halo(banks[0], detector.T_at_level)
+        stride = (detector.T_at_level[-1]
+                  * (2 ** (detector.pyramid_levels - 1)))
+        halo = -(-need // stride) * stride
+    elif halo < need:
+        raise ValueError(
+            f"halo {halo} < required {need} (template height + 16x16 "
+            f"refinement reach + frontend support); near-band-edge "
+            f"matches would be inexact — pass halo >= {need} or omit it")
 
     step = spatial_match_step(mesh, detector.T_at_level, (h, w), n, halo,
                               cand_cap=cand_cap,
@@ -212,6 +255,8 @@ def match_huge_frame(detector, image, threshold: float,
         warnings.warn(f"candidate overflow: max "
                       f"{int(np.asarray(n_above).max())} above threshold, "
                       f"cap {cand_cap}; raise cand_cap for full parity")
-    out = [Match(int(x[i]), int(y[i]), float(sc[i]), class_id, int(k[i]))
-           for i in np.nonzero(valid)[0]]
+    out = []
+    for i in np.nonzero(valid)[0]:
+        cid, tid = mapper(int(k[i]))
+        out.append(Match(int(x[i]), int(y[i]), float(sc[i]), cid, tid))
     return _sort_dedup(out)

@@ -230,3 +230,60 @@ def test_merged_many_class_match_heterogeneous_banks():
 
     assert sorted(map(key, merged)) == sorted(map(key, per_class))
     assert len({m.class_id for m in merged}) >= 3
+
+
+def test_merged_overflow_escalated_cap(monkeypatch):
+    """A frame overflowing the merged multi-class clamp must retry ONE
+    merged program at the escalated cap (exact results) and must NOT
+    bounce to the per-class escalating path until that cap overflows."""
+    import numpy as np
+
+    from shape_based_matching_tpu.models.detector import Detector
+    from shape_based_matching_tpu.utils.synthetic import (
+        synthetic_scene, synthetic_shape_image)
+
+    det = Detector(num_features=48, T=(4, 8))
+    templs = {}
+    for i, cid in enumerate(["a", "b", "c"]):
+        t = synthetic_shape_image(72, seed=40 + i)
+        templs[cid] = t
+        det.add_template(t, cid, np.full_like(t, 255))
+        det.add_template_rotate(cid, 0, 30.0 * (i + 1), (36.0, 36.0))
+
+    scene = synthetic_scene(256, 256, templs["a"], n_instances=2, seed=50)
+    for cid, (yy, xx) in [("b", (40, 140)), ("c", (150, 120))]:
+        t = templs[cid]
+        th, tw = t.shape
+        scene[yy:yy + th, xx:xx + tw] = np.maximum(
+            scene[yy:yy + th, xx:xx + tw], t)
+
+    thr = 45.0  # low threshold -> many coarse candidates
+    expected = []
+    for cid in det.class_ids():
+        expected.extend(det.match(scene, thr, [cid]))
+    assert expected
+
+    esc_calls = []
+    orig_esc = det._match_escalating
+    monkeypatch.setattr(
+        det, "_match_escalating",
+        lambda *a, **kw: (esc_calls.append(1), orig_esc(*a, **kw))[1])
+    group_calls = []
+    orig_group = det._run_batch_group
+    monkeypatch.setattr(
+        det, "_run_batch_group",
+        lambda *a, **kw: (group_calls.append(a[4]),
+                          orig_group(*a, **kw))[1])
+
+    # cand_cap=1 * 3 classes = merged cap 3: guaranteed overflow
+    got = det.match_batch(scene[None], thr, cand_cap=1, distinct_cap=1)[0]
+
+    def key(m):
+        return (m.class_id, m.template_id, m.x, m.y,
+                round(float(m.similarity), 4))
+
+    assert sorted(map(key, got)) == sorted(map(key, expected))
+    # first launch at the clamped cap, retry at the escalated cap…
+    assert len(group_calls) == 2 and group_calls[1] > group_calls[0]
+    # …and no per-class fallback
+    assert not esc_calls
