@@ -695,7 +695,7 @@ def cmd_info(args) -> int:
     T = tuple(int(t) for t in args.T.split(","))
     n_ori = int(args.n_ori)
     nfeat = int(args.num_features)
-    max_resp = 4 if n_ori == 8 else 8
+    max_resp = 4  # both LUTs top out at 4 (see ops/response.response_maps)
     print(f"\nconfig {w}x{h}, T={T}, n_ori={n_ori}, "
           f"{nfeat} features:")
     print(f"  fused frontend:   "

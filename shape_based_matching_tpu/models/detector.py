@@ -293,8 +293,9 @@ class Detector:
         # None = auto (Pallas kernels on TPU, XLA elsewhere); results are
         # bit-identical either way.
         self.use_pallas = use_pallas
-        # 8 = LINE-2D standard; 16 = the fork's graded-response experiment
-        # (test/ori_16bit_experiment): 32->16 angle buckets, responses 0..8.
+        # 8 = LINE-2D standard; 16 = the 16-orientation experiment
+        # (test/ori_16bit_experiment): 32->16 angle buckets, vendored-LUT
+        # responses {0, 1, 4} (line2Dup_16bit_ori.cpp:575).
         assert num_orientations in (8, 16)
         self.num_orientations = int(num_orientations)
         # opencv_contrib issue #2843 variant (compile-time-disabled in the

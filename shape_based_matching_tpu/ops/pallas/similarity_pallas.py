@@ -255,7 +255,7 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
     # 4096 so the packed word grid keeps 8-aligned sublanes (Mosaic's
     # dynamic rotate requires it).
     N_slots = int(bank.fx.shape[1])
-    max_resp = 4 if n_ori == 8 else 8
+    max_resp = 4  # both LUTs top out at 4 (16-ori: line2Dup_16bit_ori.cpp:575)
     packed = N_slots * max_resp <= 255
     packed2 = (not packed) and N_slots * max_resp <= 65535
     gran = 4096 if (packed or packed2) else 1024

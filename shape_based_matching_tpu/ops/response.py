@@ -62,8 +62,17 @@ def response_maps(spread_img: jnp.ndarray, n_ori: int = 8) -> jnp.ndarray:
     if an adjacent bit (ori±1 mod 8) is set, else 0 — exactly the
     SIMILARITY_LUT table semantics.
 
-    n_ori=16 (ori_16bit_experiment LUT_gen.cpp:24-50): graded responses
-    8 - circular_bin_distance(nearest set bit, ori), i.e. 8,7,...,0.
+    n_ori=16: matches the COMPILED experiment exactly
+    (tests/test_golden_16ori.py), including two facts discovered by
+    compiling it:
+    * the SIMILARITY_LUT it vendors (line2Dup_16bit_ori.cpp:575-608) maps
+      circular bin distance d to 4 (d <= 2), 1 (d in {3, 4}), 0 (d >= 5)
+      — NOT the graded 8..0 table LUT_gen.cpp emits (committed as
+      LUT16.txt but never wired in);
+    * its nibble split extracts the top segment with
+      ``(src & (15 << 16)) >> 16`` (line2Dup_16bit_ori.cpp:639) — always
+      zero for a ushort — so spread bits 12..15 NEVER contribute a
+      response. Reproduced here by masking them out.
     """
     s = spread_img.astype(jnp.int32)  # [H, W]
     if n_ori == 8:
@@ -75,15 +84,17 @@ def response_maps(spread_img: jnp.ndarray, n_ori: int = 8) -> jnp.ndarray:
         resp = jnp.where(exact == 1, 4, jnp.where(adj == 1, 3, 0))
         return resp.astype(jnp.uint8)
 
+    live = 0xFFF  # bits 12..15 are dead (the reference's 15<<16 bug)
     planes = []
     for ori in range(n_ori):
-        resp = jnp.zeros(s.shape, jnp.int32)
-        # scan distances farthest-first so nearer hits overwrite
-        for d in range(n_ori // 2, -1, -1):
-            mask = ((1 << ((ori + d) % n_ori))
-                    | (1 << ((ori - d) % n_ori)))
-            hit = (s & mask) > 0
-            resp = jnp.where(hit, n_ori // 2 - d, resp)
+        near = 0  # live bits within distance 2 -> response 4
+        for d in (-2, -1, 0, 1, 2):
+            near |= 1 << ((ori + d) % n_ori)
+        mid = 0  # live bits at distance 3..4 -> response 1
+        for d in (-4, -3, 3, 4):
+            mid |= 1 << ((ori + d) % n_ori)
+        resp = jnp.where((s & (near & live)) > 0, 4,
+                         jnp.where((s & (mid & live)) > 0, 1, 0))
         planes.append(resp)
     return jnp.stack(planes).astype(jnp.uint8)
 

@@ -4,8 +4,10 @@ The reference's 16-bit experiment (test/ori_16bit_experiment/
 line2Dup_16bit_ori.cpp) has no buildable header or golden driver, so the
 contract here is oracle-based: the JAX ops must agree exactly with the NumPy
 oracle that follows the experiment's C++ (32 angle buckets -> &15, CV_16U
-single-bit images, graded LUT responses 8..0 per LUT_gen.cpp, score still
-raw*100/(4*nfeat)), plus an end-to-end synthetic detection check.
+single-bit images, the vendored SIMILARITY_LUT's responses {0,1,4} —
+line2Dup_16bit_ori.cpp:575, NOT LUT_gen.cpp's graded 8..0 table — score
+still raw*100/(4*nfeat)), plus an end-to-end synthetic detection check.
+Compiled-reference goldens live in tests/test_golden_16ori.py.
 """
 
 import numpy as np
@@ -35,17 +37,21 @@ def test_response_maps_16_lut_semantics(rng):
     got = np.asarray(response.response_maps(jnp.asarray(s), 16))
     want = oracle.response_maps(s, 16)
     np.testing.assert_array_equal(got, want)
-    # LUT_gen.cpp ground truth: response = 8 - circular distance to nearest
-    # set bit (0 when no bit within distance 8, i.e. empty -> 0)
-    for val in [0, 1, 3, 1 << 15, (1 << 7) | (1 << 9)]:
+    # Vendored-LUT ground truth (line2Dup_16bit_ori.cpp:575): response =
+    # max over SET LIVE bits of w(distance), w = 4 (d<=2), 1 (d in {3,4}),
+    # 0 beyond. Bits 12..15 are dead: the reference's nibble split reads
+    # the top segment via (s & (15 << 16)) >> 16 == 0 (cpp:639).
+    def w(d):
+        return 4 if d <= 2 else (1 if d <= 4 else 0)
+    for val in [0, 1, 3, 1 << 15, (1 << 7) | (1 << 9), (1 << 13) | 2]:
         img = np.full((4, 4), val, np.uint16)
         r = oracle.response_maps(img, 16)
         for ori in range(16):
             best = 0
-            for b in range(16):
+            for b in range(12):  # live bits only
                 if val & (1 << b):
                     d = min((b - ori) % 16, (ori - b) % 16)
-                    best = max(best, 8 - d)
+                    best = max(best, w(d))
             assert r[ori][0, 0] == best, (val, ori)
 
 
@@ -73,7 +79,11 @@ def test_16ori_end_to_end_detection():
     matches = det.match(scene, 60.0)
     assert matches
     assert matches[0].template_id == 0
-    assert matches[0].similarity > 100.0  # graded responses reach 8 = 2x4
+    # even an exact instance scores well below 100 in this mode: features
+    # labeled 12..15 can never respond (the reference's dead-nibble bug,
+    # see ops/response.response_maps) — the compiled experiment behaves
+    # the same (goldens: the train frame's own match scores ~82.5)
+    assert matches[0].similarity > 70.0
 
 
 def test_16ori_yaml_roundtrip(tmp_path):

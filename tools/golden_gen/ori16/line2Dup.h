@@ -85,9 +85,11 @@ public:  // the experiment tool reads intermediates directly
         float score;
     };
 
-    bool selectScatteredFeatures(const std::vector<Candidate> &candidates,
-                                 std::vector<Feature> &features,
-                                 size_t num_features, float distance);
+    // static member (callable from const extractTemplate), as upstream
+    static bool selectScatteredFeatures(
+        const std::vector<Candidate> &candidates,
+        std::vector<Feature> &features,
+        size_t num_features, float distance);
 };
 
 inline ColorGradientPyramid::Candidate::Candidate(int x, int y, int label,
