@@ -84,6 +84,45 @@ def _measure_throughput(num_templates: int = 360, batch: int = 8,
     return batch / (_min_of(run, iters) / 1e3)
 
 
+def _measure_masked(num_templates: int = 360, iters: int = 20):
+    """Masked match e2e (ms/frame): the jabil-style workload — the mask
+    rides the fused Pallas frontend since round 3 (one extra VMEM input),
+    so this should sit within ~10% of the unmasked number instead of
+    falling back to the XLA chain."""
+    import numpy as np
+
+    import jax
+
+    from shape_based_matching_tpu.utils.synthetic import (
+        build_rotated_detector, synthetic_scene)
+
+    det, templ_img = build_rotated_detector(num_templates=num_templates,
+                                            num_features=63)
+    frame = synthetic_scene(1024, 1024, templ_img, n_instances=4, seed=3)
+    rng = np.random.RandomState(4)
+    mask = (rng.rand(1024, 1024) > 0.25).astype(np.uint8) * 255
+    frames = jax.device_put(frame[None])
+    masks = jax.device_put(mask[None])
+    jax.block_until_ready((frames, masks))
+
+    def timed(use_mask):
+        m = masks if use_mask else None
+        out = det.match_batch(frames, 85.0, masks=m, as_matches=False)
+        jax.block_until_ready(out)
+
+        def run(n):
+            out = None
+            for _ in range(n):
+                out = det.match_batch(frames, 85.0, masks=m,
+                                      as_matches=False)
+            jax.block_until_ready(out)
+
+        return _min_of(run, iters)
+
+    # unmasked through the SAME match_batch B=1 program for a fair ratio
+    return timed(True), timed(False)
+
+
 def _measure_case1(iters: int = 20):
     """Real-data baseline (SURVEY.md §6): the upstream case1 angle demo —
     361 rotation templates x 128 features, trained by the compiled C++
@@ -129,6 +168,7 @@ def main():
     # run after them, 0.7 ms fresh — host-side dispatch overhead, not
     # device time)
     ms_case1 = _measure_case1()
+    ms_masked, ms_unmasked_b1 = _measure_masked(360)
     ms_360 = _measure(360)
     ms_1000 = _measure(1000)
     ms_10000 = _measure(10000, iters=10)
@@ -137,6 +177,8 @@ def main():
     detail = {
         "match_1024x1024_1000templates_e2e_ms": round(ms_1000, 3),
         "match_1024x1024_360templates_e2e_ms": round(ms_360, 3),
+        "match_1024x1024_360templates_masked_e2e_ms": round(ms_masked, 3),
+        "match_1024x1024_360templates_b1_e2e_ms": round(ms_unmasked_b1, 3),
         "match_1024x1024_10000templates_e2e_ms": round(ms_10000, 3),
         "throughput_1024x1024_360templates_b8_fps": round(fps_b8, 1),
         "vs_baseline_1000": round(BASELINE_1000_MS / ms_1000, 2),

@@ -117,7 +117,8 @@ def _lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
         if fused and frontend_supported(src.shape, gray, n_ori, patch_2843,
                                         has_mask):
             thr_sq = jnp.float32(weak_threshold) ** 2
-            sp = quant_spread_pallas(src, thr_sq, T[l])
+            sp = quant_spread_pallas(src, thr_sq, T[l], n_ori=n_ori,
+                                     mask=msk if has_mask else None)
             lm = build_lm_from_spread(sp, T[l], n_ori)
         else:
             if gray:
@@ -166,12 +167,18 @@ def _batch_pyramid(sources, masks, gray: bool, has_mask: bool, T: tuple,
             sources, masks)
 
     lmflats = []
-    src = sources  # [B, H, W]
+    src = sources  # [B, H, W{,3}]
+    msk = masks if has_mask else None
     thr_sq = jnp.float32(weak_threshold) ** 2
     for l in range(levels):
         if l > 0:
             src = jax.vmap(pyr_down_u8)(src)
-        sp = quant_spread_pallas_batched(src, thr_sq, T[l])
+            if has_mask:
+                msk = jax.vmap(partial(
+                    resize_nearest,
+                    out_hw=(src.shape[1], src.shape[2])))(msk)
+        sp = quant_spread_pallas_batched(src, thr_sq, T[l], n_ori=n_ori,
+                                         masks=msk)
         lm = jax.vmap(partial(build_lm_from_spread, T=T[l], n_ori=n_ori))(sp)
         m = lm.shape[-1]
         flat = jnp.concatenate(

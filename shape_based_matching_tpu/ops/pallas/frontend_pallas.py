@@ -107,13 +107,20 @@ def _spread_or(sp, T, axis):
 
 def _quant_spread_kernel(img_ref, thr_ref, dims_ref, out_ref, *, T,
                          with_quant, quant_ref=None, batched: bool = False,
-                         color: bool = False):
+                         color: bool = False, n_ori: int = 8,
+                         mask_ref=None):
     """Shapes may be PADDED to (8, 128) tile multiples; dims_ref (SMEM
     [2]) carries the real (h, w). The host pads with edge replication, so
     blur/sobel values consumed by real in-border pixels equal full-frame
     BORDER_REPLICATE; the quantization border mask and the vote
     in-image mask use the real dims (pad pixels cast NO vote — a bare
-    q8=0 pad pixel would wrongly vote for bin 0)."""
+    q8=0 pad pixel would wrongly vote for bin 0).
+
+    n_ori=16 votes into TWO nibble-packed u32 accumulators (bins 0-7 /
+    8-15) and emits u16 single-bit orientations
+    (line2Dup_16bit_ori.cpp:216-297 semantics). mask_ref (optional)
+    zeroes quantized orientations where mask == 0 BEFORE the spread —
+    the reference's quantize() masked copy (line2Dup.cpp:446-450)."""
     if batched:  # refs carry a leading size-1 batch block
         base = img_ref[0]
     else:
@@ -154,8 +161,8 @@ def _quant_spread_kernel(img_ref, thr_ref, dims_ref, out_ref, *, T,
     mag = magi.astype(jnp.float32)
     ang = phase_deg(dx.astype(jnp.float32), dy.astype(jnp.float32))
 
-    # --- quantize to 16 then fold to 8 bins, zero the 1px border ---------
-    q16 = jax.lax.round(ang * jnp.float32(16.0 / 360.0),
+    # --- quantize to 2*n_ori then fold to n_ori bins, zero the border ----
+    q16 = jax.lax.round(ang * jnp.float32(2.0 * n_ori / 360.0),
                         jax.lax.RoundingMethod.TO_NEAREST_EVEN
                         ).astype(jnp.int32)
     hr = dims_ref[0]
@@ -164,22 +171,34 @@ def _quant_spread_kernel(img_ref, thr_ref, dims_ref, out_ref, *, T,
     col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     border = (row > 0) & (row < hr - 1) & (col > 0) & (col < wr - 1)
     in_image = (row < hr) & (col < wr)
-    q8 = jnp.where(border, q16 & 7, 0)
+    q8 = jnp.where(border, q16 & (n_ori - 1), 0)
 
-    # --- 3x3 nibble-packed majority vote (gradients.hysteresis_quantize) -
-    packed = (jnp.uint32(1) << (jnp.uint32(4) * q8.astype(jnp.uint32)))
-    packed = jnp.where(in_image, packed, jnp.uint32(0))
-    votes = jnp.zeros((h, w), jnp.uint32)
-    for di in (-1, 0, 1):
-        rowshift = packed if di == 0 else _shift_zero(packed, di, 0)
-        for dj in (-1, 0, 1):
-            votes = votes + (rowshift if dj == 0
-                             else _shift_zero(rowshift, dj, 1))
+    # --- 3x3 nibble-packed majority vote (gradients.hysteresis_quantize):
+    # counts <= 9 < 16 fit a nibble; 8 bins per u32 word (16-ori: a pixel
+    # votes in exactly one of the lo/hi words).
+    def vote_word(packed):
+        votes = jnp.zeros((h, w), jnp.uint32)
+        for di in (-1, 0, 1):
+            rowshift = packed if di == 0 else _shift_zero(packed, di, 0)
+            for dj in (-1, 0, 1):
+                votes = votes + (rowshift if dj == 0
+                                 else _shift_zero(rowshift, dj, 1))
+        return votes
+
+    one_hot = (jnp.uint32(1)
+               << (jnp.uint32(4) * (q8 % 8).astype(jnp.uint32)))
+    if n_ori == 8:
+        packed = jnp.where(in_image, one_hot, jnp.uint32(0))
+        words = (vote_word(packed),)
+    else:
+        lo = jnp.where(in_image & (q8 < 8), one_hot, jnp.uint32(0))
+        hi = jnp.where(in_image & (q8 >= 8), one_hot, jnp.uint32(0))
+        words = (vote_word(lo), vote_word(hi))
 
     max_votes = jnp.zeros((h, w), jnp.uint32)
     best_bin = jnp.zeros((h, w), jnp.uint32)
-    for b in range(8):
-        cnt = (votes >> jnp.uint32(4 * b)) & jnp.uint32(15)
+    for b in range(n_ori):
+        cnt = (words[b // 8] >> jnp.uint32(4 * (b % 8))) & jnp.uint32(15)
         better = cnt > max_votes
         max_votes = jnp.where(better, cnt, max_votes)
         best_bin = jnp.where(better, jnp.uint32(b), best_bin)
@@ -187,6 +206,13 @@ def _quant_spread_kernel(img_ref, thr_ref, dims_ref, out_ref, *, T,
     thr = thr_ref[0]
     ok = border & (mag > thr) & (max_votes >= 5)
     quant = jnp.where(ok, jnp.uint32(1) << best_bin, jnp.uint32(0))
+    if mask_ref is not None:
+        msk = mask_ref[0] if batched else mask_ref[...]
+        # widen u8 -> i32 before the compare: Mosaic lowers a u8 vector
+        # compare feeding a 32-bit select poorly (packed-i8 layout clash)
+        quant = jnp.where(msk.astype(jnp.int32) > 0, quant, jnp.uint32(0))
+
+    out_dtype = jnp.uint8 if n_ori == 8 else jnp.uint16
 
     def write(ref, val):
         if batched:
@@ -195,50 +221,80 @@ def _quant_spread_kernel(img_ref, thr_ref, dims_ref, out_ref, *, T,
             ref[...] = val
 
     if with_quant:
-        write(quant_ref, quant.astype(jnp.uint8))
+        write(quant_ref, quant.astype(out_dtype))
 
     # --- spread: OR over the T x T window up-left (response.spread) ------
     write(out_ref, _spread_or(_spread_or(quant, T, 0), T, 1)
-          .astype(jnp.uint8))
+          .astype(out_dtype))
 
 
 def frontend_supported(shape, gray: bool, n_ori: int,
                        patch_2843: bool, has_mask: bool) -> bool:
     """Whether the fused kernel covers this configuration (the hot match
-    path): gray AND color, any size (inputs pad to tile multiples with
-    exact border semantics); 16-ori / PATCH_2843 / masked configurations
-    take the XLA chain."""
+    path): gray AND color, masked, 8- and 16-orientation, any size
+    (inputs pad to tile multiples with exact border semantics); only the
+    PATCH_2843 variant (compile-time-disabled upstream) takes the XLA
+    chain."""
     h, w = shape[:2]
-    return (n_ori == 8 and not patch_2843 and not has_mask
-            and h >= 8 and w >= 8)
+    return n_ori in (8, 16) and not patch_2843 and h >= 8 and w >= 8
 
 
 def quant_spread_pallas(img: jnp.ndarray, threshold_sq, T: int,
                         with_quant: bool = False,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        n_ori: int = 8, mask=None):
     """Non-jitted shim: resolves `interpret` (None -> env flag) OUTSIDE
-    jit, then delegates."""
-    return _quant_spread_pallas(img, threshold_sq, T, with_quant,
-                                _resolve_interpret(interpret))
+    jit, then delegates (separate jit entry points for the masked and
+    unmasked signatures)."""
+    if mask is None:
+        return _quant_spread_pallas(img, threshold_sq, T, with_quant,
+                                    _resolve_interpret(interpret), n_ori)
+    return _quant_spread_pallas_masked(img, mask, threshold_sq, T,
+                                       with_quant,
+                                       _resolve_interpret(interpret),
+                                       n_ori)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("T", "with_quant", "interpret"))
+                   static_argnames=("T", "with_quant", "interpret",
+                                    "n_ori"))
 def _quant_spread_pallas(img: jnp.ndarray, threshold_sq, T: int,
                          with_quant: bool = False,
-                         interpret: bool = False):
+                         interpret: bool = False, n_ori: int = 8):
+    return _quant_spread_impl(img, None, threshold_sq, T, with_quant,
+                              interpret, n_ori)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("T", "with_quant", "interpret",
+                                    "n_ori"))
+def _quant_spread_pallas_masked(img: jnp.ndarray, mask: jnp.ndarray,
+                                threshold_sq, T: int,
+                                with_quant: bool = False,
+                                interpret: bool = False, n_ori: int = 8):
+    return _quant_spread_impl(img, mask, threshold_sq, T, with_quant,
+                              interpret, n_ori)
+
+
+def _quant_spread_impl(img, mask, threshold_sq, T: int, with_quant: bool,
+                       interpret: bool, n_ori: int):
     """spread(hysteresis_quantize(...), T) fused in one kernel.
 
     img: [H, W] uint8 gray or [H, W, 3] color (quantizedOrientations,
-    line2Dup.cpp:313-404; 16-ori/PATCH_2843/masked use the XLA path).
-    Any size: inputs pad to (8, 128) tile multiples with edge
-    replication (exact BORDER_REPLICATE semantics) and the kernel masks
-    with the real dims. Returns the [H, W] uint8 spread image;
-    `with_quant` adds the pre-spread quantized image as a second output.
+    line2Dup.cpp:313-404; PATCH_2843 uses the XLA path). `mask` (optional
+    [H, W] u8) zeroes quantized orientations pre-spread — the
+    reference's masked quantize() copy (line2Dup.cpp:446-450). Any size:
+    inputs pad to tile multiples with edge replication (exact
+    BORDER_REPLICATE semantics) and the kernel masks with the real dims.
+    Returns the [H, W] spread image (uint8 for 8 bins, uint16 for 16 per
+    line2Dup_16bit_ori.cpp); `with_quant` adds the pre-spread quantized
+    image as a second output.
     """
     color = img.ndim == 3
     h, w = img.shape[:2]
-    hp = -(-h // 8) * 8
+    # u16 outputs tile as (16, 128): pad rows to the wider tile
+    row_tile = 8 if n_ori == 8 else 16
+    hp = -(-h // row_tile) * row_tile
     wp = -(-w // 128) * 128
     pad = ((0, hp - h), (0, wp - w)) + (((0, 0),) if color else ())
     padded = jnp.pad(img, pad, mode="edge")
@@ -246,55 +302,89 @@ def _quant_spread_pallas(img: jnp.ndarray, threshold_sq, T: int,
         padded = jnp.transpose(padded, (2, 0, 1))  # [3, Hp, Wp]
     thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1)
     dims = jnp.array([h, w], jnp.int32)
-    out_shape = [jax.ShapeDtypeStruct((hp, wp), jnp.uint8)]
+    out_dtype = jnp.uint8 if n_ori == 8 else jnp.uint16
+    out_shape = [jax.ShapeDtypeStruct((hp, wp), out_dtype)]
     if with_quant:
-        out_shape.append(jax.ShapeDtypeStruct((hp, wp), jnp.uint8))
+        out_shape.append(jax.ShapeDtypeStruct((hp, wp), out_dtype))
+    inputs = [padded, thr, dims]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    masked = mask is not None
+    if masked:
+        # zero-pad: pad pixels are already masked out by the in-image
+        # logic, and where(mask > 0, ..) keeps zeros zero
+        inputs.append(jnp.pad(mask, ((0, hp - h), (0, wp - w))))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
-    def body(img_ref, thr_ref, dims_ref, out_ref, *rest):
+    def body(img_ref, thr_ref, dims_ref, *rest):
         rest = list(rest)
+        mask_ref = rest.pop(0) if masked else None
+        out_ref = rest.pop(0)
         _quant_spread_kernel(
             img_ref, thr_ref, dims_ref, out_ref, T=T,
-            with_quant=with_quant, color=color,
+            with_quant=with_quant, color=color, n_ori=n_ori,
+            mask_ref=mask_ref,
             quant_ref=rest.pop(0) if with_quant else None)
 
     outs = pl.pallas_call(
         body,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(padded, thr, dims)
+    )(*inputs)
     outs = [o[:h, :w] for o in (outs if isinstance(outs, (list, tuple))
                                 else [outs])]
     return tuple(outs) if len(outs) > 1 else outs[0]
 
 
+
 def quant_spread_pallas_batched(imgs: jnp.ndarray, threshold_sq, T: int,
-                                interpret: bool | None = None
-                                ) -> jnp.ndarray:
+                                interpret: bool | None = None,
+                                n_ori: int = 8, masks=None) -> jnp.ndarray:
     """Non-jitted shim: resolves `interpret` OUTSIDE jit, then delegates."""
-    return _quant_spread_pallas_batched(imgs, threshold_sq, T,
-                                        _resolve_interpret(interpret))
+    if masks is None:
+        return _quant_spread_pallas_batched(imgs, threshold_sq, T,
+                                            _resolve_interpret(interpret),
+                                            n_ori)
+    return _quant_spread_pallas_batched_masked(
+        imgs, masks, threshold_sq, T, _resolve_interpret(interpret), n_ori)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+@functools.partial(jax.jit, static_argnames=("T", "interpret", "n_ori"))
 def _quant_spread_pallas_batched(imgs: jnp.ndarray, threshold_sq, T: int,
-                                 interpret: bool = False) -> jnp.ndarray:
+                                 interpret: bool = False,
+                                 n_ori: int = 8) -> jnp.ndarray:
+    return _quant_spread_batched_impl(imgs, None, threshold_sq, T,
+                                      interpret, n_ori)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "interpret", "n_ori"))
+def _quant_spread_pallas_batched_masked(imgs: jnp.ndarray,
+                                        masks: jnp.ndarray, threshold_sq,
+                                        T: int, interpret: bool = False,
+                                        n_ori: int = 8) -> jnp.ndarray:
+    return _quant_spread_batched_impl(imgs, masks, threshold_sq, T,
+                                      interpret, n_ori)
+
+
+def _quant_spread_batched_impl(imgs, masks, threshold_sq, T: int,
+                               interpret: bool, n_ori: int) -> jnp.ndarray:
     """Frame-batched quant_spread_pallas: [B, H, W{,3}] -> [B, H, W].
 
     Grid over the batch dim (one frontend program per frame) — a single
     pallas_call for the whole batch instead of vmapping the single-frame
     kernel (one program, explicit per-frame blocks). Sizes pad like the
-    single-frame wrapper."""
+    single-frame wrapper; `masks` [B, H, W] is per-frame."""
     color = imgs.ndim == 4
     b, h, w = imgs.shape[:3]
-    hp = -(-h // 8) * 8
+    row_tile = 8 if n_ori == 8 else 16
+    hp = -(-h // row_tile) * row_tile
     wp = -(-w // 128) * 128
     pad = ((0, 0), (0, hp - h), (0, wp - w)) + (((0, 0),) if color else ())
     padded = jnp.pad(imgs, pad, mode="edge")
@@ -302,27 +392,39 @@ def _quant_spread_pallas_batched(imgs: jnp.ndarray, threshold_sq, T: int,
         padded = jnp.transpose(padded, (0, 3, 1, 2))  # [B, 3, Hp, Wp]
     thr = jnp.asarray(threshold_sq, jnp.float32).reshape(1)
     dims = jnp.array([h, w], jnp.int32)
+    masked = masks is not None
 
-    def body(img_ref, thr_ref, dims_ref, out_ref):
+    def body(img_ref, thr_ref, dims_ref, *rest):
+        rest = list(rest)
+        mask_ref = rest.pop(0) if masked else None
+        out_ref = rest.pop(0)
         _quant_spread_kernel(img_ref, thr_ref, dims_ref, out_ref, T=T,
-                             with_quant=False, batched=True, color=color)
+                             with_quant=False, batched=True, color=color,
+                             n_ori=n_ori, mask_ref=mask_ref)
 
     img_block = ((1, 3, hp, wp) if color else (1, hp, wp))
     img_index = ((lambda i: (i, 0, 0, 0)) if color
                  else (lambda i: (i, 0, 0)))
+    inputs = [padded, thr, dims]
+    in_specs = [
+        pl.BlockSpec(img_block, img_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    if masked:
+        inputs.append(jnp.pad(masks, ((0, 0), (0, hp - h), (0, wp - w))))
+        in_specs.append(pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_dtype = jnp.uint8 if n_ori == 8 else jnp.uint16
     out = pl.pallas_call(
         body,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec(img_block, img_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp), out_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(padded, thr, dims)
+    )(*inputs)
     return out[:, :h, :w]

@@ -153,7 +153,15 @@ def build_lm_from_spread(sp: jnp.ndarray, T: int,
     first (MXU one-hot matmul) and applying the bit-test response to its
     [T*T, M] rows yields bytes identical to
     ``linearize(response_maps(sp), T)`` while moving n_ori× less data
-    through the shuffle."""
+    through the shuffle.
+
+    16-ori spread planes are uint16 — past bf16's exact-integer range —
+    so the permutation rides the MXU as two exact u8 byte planes."""
+    if sp.dtype == jnp.uint16:
+        lo = linearize((sp & 0xFF).astype(jnp.uint8)[None], T)[0]
+        hi = linearize((sp >> 8).astype(jnp.uint8)[None], T)[0]
+        perm = lo.astype(jnp.uint16) | (hi.astype(jnp.uint16) << 8)
+        return response_maps(perm, n_ori)
     return response_maps(linearize(sp[None], T)[0], n_ori)
 
 
@@ -171,11 +179,11 @@ def build_linear_memories_fused(src: jnp.ndarray, weak_threshold, T: int,
     the bit-test response to its [T*T, M] rows gives the same bytes while
     moving 8x less data through the decimation shuffle.
 
-    Gray 8-ori only (the hot match path); color/16-ori/PATCH_2843 callers
-    use the unfused path.
+    Gray/color, 8- and 16-orientation; PATCH_2843 callers use the
+    unfused path.
     """
     from .pallas.frontend_pallas import quant_spread_pallas
 
     sp = quant_spread_pallas(src, jnp.float32(weak_threshold) ** 2, T,
-                             interpret=interpret)
+                             interpret=interpret, n_ori=n_ori)
     return build_lm_from_spread(sp, T, n_ori)

@@ -8,6 +8,8 @@ permutation). On real TPU hardware the same parity is asserted with
 SBM_TEST_TPU=1 (compiled kernel).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -22,7 +24,7 @@ from shape_based_matching_tpu.ops.response import (
 from shape_based_matching_tpu.utils.synthetic import (synthetic_scene,
                                                       synthetic_shape_image)
 
-INTERPRET = True  # CPU CI; flip via SBM_TEST_TPU for on-chip runs
+INTERPRET = not os.environ.get("SBM_TEST_TPU")  # on-chip: compiled
 
 
 def _images():
@@ -125,6 +127,94 @@ def test_frontend_supported_gate():
     assert frontend_supported((1024, 1024), True, 8, False, False)
     assert frontend_supported((1024, 1024), False, 8, False, False)  # color
     assert frontend_supported((1024, 160), True, 8, False, False)  # padded
-    assert not frontend_supported((1024, 1024), True, 16, False, False)
+    assert frontend_supported((1024, 1024), True, 16, False, False)  # 16-ori
+    assert frontend_supported((1024, 1024), True, 8, False, True)  # masked
+    assert frontend_supported((1024, 1024), True, 16, False, True)
+    # PATCH_2843 (compile-time-disabled upstream) stays on the XLA chain
     assert not frontend_supported((1024, 1024), True, 8, True, False)
-    assert not frontend_supported((1024, 1024), True, 8, False, True)
+
+
+@pytest.mark.parametrize("T", [4, 8])
+@pytest.mark.parametrize("n_ori", [8, 16])
+def test_masked_quant_and_spread_parity(T, n_ori):
+    """Masked configs (line2Dup.cpp:446-450): the kernel's mask input must
+    reproduce where(mask > 0, quantized, 0) before the spread."""
+    from shape_based_matching_tpu.ops.gradients import (
+        quantized_orientations_gray as qog)
+
+    img = _images()["scene"]
+    rng = np.random.RandomState(3)
+    mask = (rng.rand(*img.shape) > 0.4).astype(np.uint8) * 255
+    mask[40:80, :] = 0
+
+    g = qog(jnp.asarray(img), jnp.float32(30.0), n_ori)
+    ref_q = np.where(mask > 0, np.asarray(g.angle), 0)
+    ref_sp = np.asarray(spread(jnp.asarray(ref_q), T))
+    got_sp, got_q = quant_spread_pallas(
+        jnp.asarray(img), jnp.float32(30.0) ** 2, T, with_quant=True,
+        interpret=INTERPRET, n_ori=n_ori, mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(got_q), ref_q)
+    np.testing.assert_array_equal(np.asarray(got_sp), ref_sp)
+
+
+@pytest.mark.parametrize("T", [4, 8])
+@pytest.mark.parametrize("name,color", [("scene", False), ("noise", False),
+                                        ("color", True)])
+def test_16ori_quant_and_spread_parity(T, name, color):
+    """16-orientation configs emit u16 single-bit orientations
+    (line2Dup_16bit_ori.cpp:216-297) — kernel == XLA chain bit-for-bit."""
+    from shape_based_matching_tpu.ops.gradients import (
+        quantized_orientations_color, quantized_orientations_gray as qog)
+
+    if color:
+        rng = np.random.RandomState(11)
+        img = (rng.rand(120, 250, 3) * 255).astype(np.uint8)
+        g = quantized_orientations_color(jnp.asarray(img),
+                                         jnp.float32(30.0), 16)
+    else:
+        img = _images()[name]
+        g = qog(jnp.asarray(img), jnp.float32(30.0), 16)
+    ref_sp = np.asarray(spread(g.angle, T))
+    got_sp, got_q = quant_spread_pallas(
+        jnp.asarray(img), jnp.float32(30.0) ** 2, T, with_quant=True,
+        interpret=INTERPRET, n_ori=16)
+    assert np.asarray(got_q).dtype == np.uint16
+    np.testing.assert_array_equal(np.asarray(got_q), np.asarray(g.angle))
+    np.testing.assert_array_equal(np.asarray(got_sp), ref_sp)
+
+
+def test_16ori_linear_memories_parity():
+    """build_linear_memories_fused for n_ori=16: the u16 spread plane
+    rides the MXU as two exact byte planes — must equal the unfused
+    build_linear_memories bit-for-bit."""
+    from shape_based_matching_tpu.ops.gradients import (
+        quantized_orientations_gray as qog)
+
+    img = _images()["scene"]
+    for T in (4, 8):
+        g = qog(jnp.asarray(img), jnp.float32(30.0), 16)
+        ref = np.asarray(build_linear_memories(g.angle, T, 16))
+        got = np.asarray(build_linear_memories_fused(
+            jnp.asarray(img), 30.0, T, 16, interpret=INTERPRET))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_batched_masked_parity():
+    """Frame-batched masked frontend (one program, per-frame mask
+    blocks) == per-frame XLA chain."""
+    from shape_based_matching_tpu.ops.pallas.frontend_pallas import (
+        quant_spread_pallas_batched)
+    from shape_based_matching_tpu.ops.gradients import (
+        quantized_orientations_gray as qog)
+
+    rng = np.random.RandomState(5)
+    imgs = (rng.rand(3, 64, 128) * 255).astype(np.uint8)
+    masks = (rng.rand(3, 64, 128) > 0.3).astype(np.uint8) * 255
+    got = np.asarray(quant_spread_pallas_batched(
+        jnp.asarray(imgs), jnp.float32(30.0) ** 2, 4, interpret=INTERPRET,
+        masks=jnp.asarray(masks)))
+    for b in range(3):
+        g = qog(jnp.asarray(imgs[b]), jnp.float32(30.0))
+        ref_q = np.where(masks[b] > 0, np.asarray(g.angle), 0)
+        ref_sp = np.asarray(spread(jnp.asarray(ref_q), 4))
+        np.testing.assert_array_equal(got[b], ref_sp)

@@ -57,3 +57,46 @@ def test_match_batch_map_mode_interpreted(interpret_env):
     got = det.match_batch(scene[None], 80.0, cand_cap=1024)[0]
     assert len(want) > 0
     assert _keys(got) == _keys(want)
+
+
+def test_masked_match_dispatch_interpreted(interpret_env):
+    """Masked match now rides the fused Pallas frontend (round-3 lift of
+    the frontend_supported exclusion) — must equal the XLA path."""
+    import numpy as np
+
+    det, templ_img = build_rotated_detector(num_templates=4,
+                                            num_features=32, size=56)
+    scene = synthetic_scene(256, 256, templ_img, n_instances=2, seed=6)
+    rng = np.random.RandomState(8)
+    mask = (rng.rand(*scene.shape) > 0.2).astype(np.uint8) * 255
+    mask[:, 200:] = 0
+
+    det.use_pallas = False
+    want = det.match(scene, 70.0, mask=mask)
+    det.use_pallas = True
+    got = det.match(scene, 70.0, mask=mask)
+    assert len(want) > 0
+    assert _keys(got) == _keys(want)
+
+
+def test_16ori_match_dispatch_interpreted(interpret_env):
+    """16-orientation match through the fused frontend + packed coarse
+    kernels (u16 spread -> byte-split linearize) == XLA path."""
+    import numpy as np
+
+    from shape_based_matching_tpu.models.detector import Detector
+    from shape_based_matching_tpu.utils.synthetic import (
+        synthetic_shape_image)
+
+    det = Detector(num_features=48, num_orientations=16)
+    templ_img = synthetic_shape_image(96, seed=3)
+    det.add_template(templ_img, "s", np.full_like(templ_img, 255))
+    det.add_template_rotate("s", 0, 90.0, (48.0, 48.0))
+    scene = synthetic_scene(256, 256, templ_img, n_instances=1, seed=7)
+
+    det.use_pallas = False
+    want = det.match(scene, 60.0)
+    det.use_pallas = True
+    got = det.match(scene, 60.0)
+    assert len(want) > 0
+    assert _keys(got) == _keys(want)
