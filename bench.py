@@ -123,6 +123,42 @@ def _measure_masked(num_templates: int = 360, iters: int = 20):
     return timed(True), timed(False)
 
 
+def _measure_train_sweep(n_frames: int = 128, size: int = 256):
+    """Training-sweep throughput (templates/s): Detector.add_templates on
+    n_frames distinct frames — device gradient batches dispatched ahead
+    of the host-side greedy selection (SURVEY.md §5 distributed-training
+    analog). Returns (templates_per_s, total_s)."""
+    import numpy as np
+
+    from shape_based_matching_tpu import Detector
+    from shape_based_matching_tpu.utils.synthetic import (
+        synthetic_shape_image)
+
+    frames = np.stack([synthetic_shape_image(size, seed=1000 + i)
+                       for i in range(n_frames)])
+    det = Detector(num_features=63)
+    det.add_templates(frames[:4], "warm")  # compile the chunk shapes
+    t0 = time.perf_counter()
+    ids = det.add_templates(frames, "bench")
+    dt = time.perf_counter() - t0
+    assert all(i >= 0 for i in ids)
+    return n_frames / dt, dt
+
+
+def _measure_bank_build(num_templates: int = 10000):
+    """10k-template bank build (s): one trained template + 9999 derived
+    rotations (the realistic huge-bank path, line2Dup.cpp:1409-1451) +
+    device bank packing."""
+    from shape_based_matching_tpu.utils.synthetic import (
+        build_rotated_detector)
+
+    t0 = time.perf_counter()
+    det, _ = build_rotated_detector(num_templates=num_templates,
+                                    num_features=63)
+    det._get_banks("bench")  # pack + device put
+    return time.perf_counter() - t0
+
+
 def _measure_case1(iters: int = 20):
     """Real-data baseline (SURVEY.md §6): the upstream case1 angle demo —
     361 rotation templates x 128 features, trained by the compiled C++
@@ -162,31 +198,73 @@ def _measure_case1(iters: int = 20):
     return _min_of(run, iters)
 
 
-def main():
-    # case1 runs FIRST: its ~0.7 ms program is hypersensitive to
-    # process state left by the bigger configs (measured 7-14 ms when
-    # run after them, 0.7 ms fresh — host-side dispatch overhead, not
-    # device time)
-    ms_case1 = _measure_case1()
-    ms_masked, ms_unmasked_b1 = _measure_masked(360)
-    ms_360 = _measure(360)
-    ms_1000 = _measure(1000)
-    ms_10000 = _measure(10000, iters=10)
-    fps_b8 = _measure_throughput(360, 8)
+# Each metric runs in its OWN subprocess: the ~0.7 ms case1 program is
+# hypersensitive to process state left by the bigger configs (measured
+# 7-14 ms when run after them — host-side dispatch overhead, not device
+# time), and fresh processes make the numbers order-independent. The
+# persistent compile cache keeps re-compiles cheap.
+_METRICS = {
+    "case1": lambda: _measure_case1(),
+    "masked360": lambda: _measure_masked(360),
+    "e2e360": lambda: _measure(360),
+    "e2e1000": lambda: _measure(1000),
+    "e2e10000": lambda: _measure(10000, iters=10),
+    "fps_b8": lambda: _measure_throughput(360, 8),
+    "train_sweep": lambda: _measure_train_sweep(128, 256),
+    "bank_build_10k": lambda: _measure_bank_build(10000),
+}
 
+
+def _run_metric_subprocess(name: str):
+    """Run one metric in a fresh python process; returns its value(s)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/sbm_jax_cache"))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--metric", name],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+    if out.returncode != 0:
+        raise RuntimeError(f"metric {name} failed:\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--metric":
+        val = _METRICS[sys.argv[2]]()
+        print(json.dumps(val))
+        return
+    in_process = "--in-process" in sys.argv  # debugging escape hatch
+
+    vals = {}
+    for name in _METRICS:
+        vals[name] = (_METRICS[name]() if in_process
+                      else _run_metric_subprocess(name))
+
+    ms_1000 = vals["e2e1000"]
+    ms_masked, ms_unmasked_b1 = vals["masked360"]
     detail = {
         "match_1024x1024_1000templates_e2e_ms": round(ms_1000, 3),
-        "match_1024x1024_360templates_e2e_ms": round(ms_360, 3),
+        "match_1024x1024_360templates_e2e_ms": round(vals["e2e360"], 3),
         "match_1024x1024_360templates_masked_e2e_ms": round(ms_masked, 3),
         "match_1024x1024_360templates_b1_e2e_ms": round(ms_unmasked_b1, 3),
-        "match_1024x1024_10000templates_e2e_ms": round(ms_10000, 3),
-        "throughput_1024x1024_360templates_b8_fps": round(fps_b8, 1),
+        "match_1024x1024_10000templates_e2e_ms": round(vals["e2e10000"], 3),
+        "throughput_1024x1024_360templates_b8_fps": round(vals["fps_b8"], 1),
+        "train_sweep_128x256px_templates_per_s": round(
+            vals["train_sweep"][0], 1),
+        "bank_build_10000templates_s": round(vals["bank_build_10k"], 2),
         "vs_baseline_1000": round(BASELINE_1000_MS / ms_1000, 2),
-        "vs_baseline_360": round(BASELINE_360_MS / ms_360, 2),
+        "vs_baseline_360": round(BASELINE_360_MS / vals["e2e360"], 2),
         "north_star_under_5ms": ms_1000 < 5.0,
     }
-    if ms_case1 is not None:
-        detail["case1_361templates_golden_e2e_ms"] = round(ms_case1, 3)
+    if vals["case1"] is not None:
+        detail["case1_361templates_golden_e2e_ms"] = round(vals["case1"], 3)
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=2)
 

@@ -25,8 +25,9 @@ from ..ops.gradients import (quantized_orientations_color,
                              quantized_orientations_gray)
 from ..ops.filters import pyr_down_u8, resize_nearest
 from ..ops.response import build_linear_memories
-from ..ops.similarity import (LevelBank, coarse_similarity_dispatch,
-                              distinct_templates, extract_candidates,
+from ..ops.similarity import (LevelBank, coarse_cells_dispatch,
+                              coarse_similarity_dispatch,
+                              distinct_templates, extract_candidates_cells,
                               gather_bank, pack_level_bank,
                               refine_candidates, refine_from_maps,
                               use_pallas_default)
@@ -213,10 +214,11 @@ def _match_batch_class(lms, banks, threshold, T: tuple, levels: int,
 
     def per_frame(lm_tuple):
         lm_last, lmflat_last = lm_tuple[-1][0], lm_tuple[-1][1]
-        S, _ = coarse_similarity_dispatch(lm_last, lmflat_last, banks[-1],
-                                          t_last, size_last, use_pallas)
-        k, x, y, sc, valid, n_above = extract_candidates(
-            S, banks[-1].nfeat, threshold, t_last, w_last, cand_cap)
+        cells, positions, M = coarse_cells_dispatch(
+            lm_last, lmflat_last, banks[-1], t_last, size_last, use_pallas)
+        k, x, y, sc, valid, n_above = extract_candidates_cells(
+            cells, positions, banks[-1].nfeat, threshold, t_last, w_last,
+            cand_cap, M)
         overflow = n_above > cand_cap
         for l in range(levels - 2, -1, -1):
             lm_l, lmflat_l = lm_tuple[l][0], lm_tuple[l][1]
@@ -247,6 +249,43 @@ def _match_batch_class(lms, banks, threshold, T: tuple, levels: int,
         return k, x, y, sc, valid, overflow
 
     return jax.vmap(per_frame)(lms)
+
+
+@partial(jax.jit, static_argnames=("gray", "has_mask", "n_ori",
+                                   "patch_2843", "cap"))
+def _batch_train_level(srcs, masks, weak_threshold, gray: bool,
+                       has_mask: bool, n_ori: int, patch_2843: bool,
+                       cap: int):
+    """Device half of a training sweep for ONE pyramid level of a frame
+    chunk: gradients -> quantize -> ties-allowed 5x5 local max ->
+    mask-eligibility -> row-major compaction of eligible pixels, with
+    the magnitude/quantized/theta values gathered at those pixels.
+    Returns per frame: (idx [cap], got [cap], n_eligible, mag_v, quant_v,
+    theta_v) — only O(cap) data crosses to the host."""
+    from ..ops.filters import erode3_u8
+    from ..ops.similarity import compact_indices
+    from ..models.training import local_max_map
+
+    def one(src, msk):
+        if gray:
+            grads = quantized_orientations_gray(
+                src, weak_threshold, n_ori, patch_2843)
+        else:
+            grads = quantized_orientations_color(
+                src, weak_threshold, n_ori, patch_2843)
+        lmax = local_max_map(grads.magnitude)
+        if has_mask:
+            lmax &= erode3_u8(msk) > 0
+        hw = lmax.shape[0] * lmax.shape[1]
+        idx, n = compact_indices(lmax.reshape(-1), cap)
+        idx_safe = jnp.minimum(idx, hw - 1)
+        got = idx < hw
+        mag_v = grads.magnitude.reshape(-1)[idx_safe]
+        quant_v = grads.angle.reshape(-1)[idx_safe].astype(jnp.int32)
+        theta_v = grads.angle_ori.reshape(-1)[idx_safe]
+        return idx_safe, got, n, mag_v, quant_v, theta_v
+
+    return jax.vmap(one, in_axes=(0, 0 if has_mask else None))(srcs, masks)
 
 
 _instance: "Detector | None" = None
@@ -363,6 +402,98 @@ class Detector:
         pyramids.append(tp)
         self._invalidate_banks(class_id)
         return len(pyramids) - 1
+
+    def add_templates(self, sources, class_id: str, object_masks=None,
+                      num_features: int = 0, cand_cap: int = 4096,
+                      chunk: int = 64) -> list[int]:
+        """Pipelined training sweep: train B templates from same-shaped
+        frames with the dense device work batched ahead of the host-side
+        greedy passes (the distributed-training pattern of SURVEY.md §5).
+
+        Per pyramid level, gradients + quantization + 5x5 local-max +
+        eligible-pixel compaction for a CHUNK of frames run as one device
+        program; chunks dispatch asynchronously ahead of the host loop,
+        so the device computes chunk i+1 while the host replays chunk i's
+        order-dependent greedy acceptance/selection (bit-identical to
+        sequential add_template calls — same ops per template, and only
+        the [B, cand_cap] compacted candidate arrays cross the PCIe/ICI
+        boundary instead of B full gradient planes).
+
+        Returns one template id per frame (-1 where extraction failed,
+        matching add_template). Frames whose eligible-pixel count
+        overflows `cand_cap` re-run through exact add_template (rare)."""
+        sources = np.asarray(sources)
+        assert sources.ndim in (3, 4), "expected [B, H, W] or [B, H, W, 3]"
+        B = sources.shape[0]
+        gray = sources.ndim == 3
+        has_mask = object_masks is not None
+        masks = np.asarray(object_masks) if has_mask else None
+        nfeat = int(num_features) if num_features > 0 else self.num_features
+
+        # dispatch every chunk x level ASYNCHRONOUSLY (no host sync)
+        pending = []  # [(b0, b1, [per-level device outputs])]
+        for b0 in range(0, B, chunk):
+            b1 = min(b0 + chunk, B)
+            src = jnp.asarray(sources[b0:b1])
+            msk = jnp.asarray(masks[b0:b1]) if has_mask else None
+            levels_out = []
+            for l in range(self.pyramid_levels):
+                if l > 0:
+                    src = jax.vmap(pyr_down_u8)(src)
+                    if has_mask:
+                        msk = jax.vmap(partial(
+                            resize_nearest,
+                            out_hw=(src.shape[1], src.shape[2])))(msk)
+                levels_out.append(
+                    (_batch_train_level(
+                        src, msk if has_mask else jnp.zeros((1, 1, 1),
+                                                            jnp.uint8),
+                        jnp.float32(self.weak_threshold), gray, has_mask,
+                        self.num_orientations, self.patch_2843, cand_cap),
+                     (src.shape[1], src.shape[2])))
+            pending.append((b0, b1, levels_out))
+
+        ids = [-1] * B
+        pyramids = self.class_templates.setdefault(class_id, [])
+        for b0, b1, levels_out in pending:
+            # one D2H per chunk x level (device already raced ahead)
+            host_levels = [(tuple(np.asarray(a) for a in outs), hw)
+                           for outs, hw in levels_out]
+            for bi in range(b1 - b0):
+                b = b0 + bi
+                tp: TemplatePyramid = []
+                level_nfeat = nfeat
+                for l, ((idx, got, n_elig, mag_v, quant_v, theta_v),
+                        (h, w)) in enumerate(host_levels):
+                    if l > 0:
+                        level_nfeat //= 2  # line2Dup.cpp:427
+                    if int(n_elig[bi]) > cand_cap:
+                        tp = None  # overflow -> exact sequential fallback
+                        break
+                    m = got[bi]
+                    ys = idx[bi][m] // w
+                    xs = idx[bi][m] % w
+                    templ = training.extract_template_host(
+                        h, w, ys, xs, mag_v[bi][m], quant_v[bi][m],
+                        theta_v[bi][m], level_nfeat,
+                        self.strong_threshold, l)
+                    if templ is None:
+                        tp = []
+                        break
+                    tp.append(templ)
+                if tp is None:
+                    ids[b] = self.add_template(
+                        sources[b], class_id,
+                        masks[b] if has_mask else None,
+                        num_features=num_features)
+                    continue
+                if not tp:
+                    continue
+                crop_templates(tp)
+                pyramids.append(tp)
+                ids[b] = len(pyramids) - 1
+        self._invalidate_banks(class_id)
+        return ids
 
     def add_template_rotate(self, class_id: str, zero_id: int, theta: float,
                             center) -> int:
@@ -666,20 +797,20 @@ class Detector:
         bank_last = banks[-1]
         K = int(bank_last.fx.shape[0])
 
-        S, _positions = coarse_similarity_dispatch(
+        cells, positions, M = coarse_cells_dispatch(
             lm_last, lmflat_last, bank_last, t_last, size_last,
             self.use_pallas)
         nfeat_for_extract = bank_last.nfeat
-        total = int(S.shape[0]) * int(S.shape[1])
+        total = K * M
 
         buckets = [c for c in _CAND_BUCKETS if c <= total] or [total]
         if max_candidates is not None:
             buckets = [min(c, int(max_candidates)) for c in buckets]
         k = x = y = sc = valid = None
         for cap in buckets:
-            k, x, y, sc, valid, n_above = extract_candidates(
-                S, nfeat_for_extract, jnp.float32(threshold), t_last, w_last,
-                cap)
+            k, x, y, sc, valid, n_above = extract_candidates_cells(
+                cells, positions, nfeat_for_extract, jnp.float32(threshold),
+                t_last, w_last, cap, M)
             n_above = int(n_above)
             if n_above <= cap or cap == buckets[-1]:
                 if n_above > cap:

@@ -76,9 +76,21 @@ def extract_template(grads: QuantizedGradients, mask: np.ndarray | None,
     else:
         eligible = lmax
 
+    ys, xs = np.nonzero(eligible)
+    return extract_template_host(
+        h, w, ys, xs, magnitude[ys, xs], quantized[ys, xs],
+        angle_ori[ys, xs], num_features, strong_threshold, pyramid_level)
+
+
+def extract_template_host(h: int, w: int, ys, xs, mag_v, quant_v, theta_v,
+                          num_features: int, strong_threshold: float,
+                          pyramid_level: int) -> Template | None:
+    """Host half of extract_template: row-major greedy acceptance +
+    candidate filter + stable sort + scattered selection, given the
+    ROW-MAJOR-ordered eligible pixel list and the magnitude/quantized/
+    theta values at those pixels (the device half's outputs)."""
     # Row-major greedy acceptance with occupancy grid (exact C++ semantics).
     # Native C++ fast path when available; identical pure-Python fallback.
-    ys, xs = np.nonzero(eligible)
     from ..native import load as _load_native
 
     lib = _load_native()
@@ -93,28 +105,29 @@ def extract_template(grads: QuantizedGradients, mask: np.ndarray | None,
             ys32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             xs32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-        acc_list = [(int(r), int(c))
-                    for r, c, f in zip(ys32, xs32, flags) if f]
+        acc_idx = [i for i, f in enumerate(flags) if f]
     else:
         accepted = np.zeros((h, w), dtype=bool)
-        acc_list = []
-        for r, c in zip(ys.tolist(), xs.tolist()):
+        acc_idx = []
+        for i, (r, c) in enumerate(zip(np.asarray(ys).tolist(),
+                                       np.asarray(xs).tolist())):
             r0, r1 = max(0, r - 2), min(h, r + 3)
             c0, c1 = max(0, c - 2), min(w, c + 3)
             if accepted[r0:r1, c0:c1].any():
                 continue
             accepted[r, c] = True
-            acc_list.append((r, c))
+            acc_idx.append(i)
 
     threshold_sq = float(strong_threshold) ** 2
     candidates = []  # scan order == row-major acceptance order
-    for r, c in acc_list:
-        score = float(magnitude[r, c])
-        q = int(quantized[r, c])
+    for i in acc_idx:
+        score = float(mag_v[i])
+        q = int(quant_v[i])
         if score > threshold_sq and q > 0:
             candidates.append(
-                Candidate(x=c, y=r, label=q.bit_length() - 1, score=score,
-                          theta=float(angle_ori[r, c]))
+                Candidate(x=int(xs[i]), y=int(ys[i]),
+                          label=q.bit_length() - 1, score=score,
+                          theta=float(theta_v[i]))
             )
 
     if len(candidates) < num_features and len(candidates) <= 4:

@@ -218,24 +218,31 @@ def _build_meta(plane, s, nf, *, unit, copies, C, rows, unroll,
 
 def coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
                              size_wh, interpret: bool | None = None,
-                             mask_positions: bool = True):
+                             mask_positions: bool = True,
+                             raw_cells: bool = False):
     """Non-jitted shim: resolves `interpret` (None -> env flag) OUTSIDE
     jit so the flag is a true static argument, then delegates."""
     return _coarse_similarity_pallas(lm, bank, T, size_wh,
                                      _resolve_interpret(interpret),
-                                     mask_positions)
+                                     mask_positions, raw_cells)
 
 
 @functools.partial(jax.jit, static_argnames=("T", "size_wh", "interpret",
-                                             "mask_positions"))
+                                             "mask_positions", "raw_cells"))
 def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
                               size_wh, interpret: bool,
-                              mask_positions: bool = True):
+                              mask_positions: bool = True,
+                              raw_cells: bool = False):
     """Drop-in replacement for ops.similarity.coarse_similarity.
 
     `lm` is the [8, T*T, M] linear-memory stack from
     ops.response.build_linear_memories (NOT the flat+padded form the XLA
     path takes).
+
+    raw_cells=True skips the i32 unpack and positions mask: returns the
+    kernel's native cells [K, M_pad] (u8 packed4 / u16 packed2 / i32
+    unpacked; pad cells past M are garbage) for
+    extract_candidates_cells — the [K, M] i32 map never touches HBM.
     """
     w_img, h_img = size_wh
     W, H = w_img // T, h_img // T
@@ -316,6 +323,9 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
             Sp = _run_rotate_kernel(meta, lm3p, rows_w,
                                     (unroll, False, True), interpret,
                                     vmem_mb=64)
+        if raw_cells:
+            return (jax.lax.bitcast_convert_type(Sp, jnp.uint8)
+                    .reshape(K, M_pad), _positions(bank, T, W, H))
         # unpack bytes -> cells; widen once so downstream integer
         # arithmetic (score * 100) cannot overflow a u8.
         S = jax.lax.bitcast_convert_type(Sp, jnp.uint8).reshape(
@@ -333,6 +343,10 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
         meta = _build_meta(plane, shift, nf, unit=2, copies=2, C=C,
                            rows=rows_w2, unroll=unroll)
         Sp = _run_rotate_kernel(meta, lmw, rows_w2, (unroll,), interpret)
+        if raw_cells:
+            # little-endian bitcast i32 -> [lo, hi] u16 pairs == cell order
+            return (jax.lax.bitcast_convert_type(Sp, jnp.uint16)
+                    .reshape(K, M_pad), _positions(bank, T, W, H))
         lo = Sp & 0xFFFF
         hi = (Sp >> 16) & 0xFFFF
         S = jnp.stack([lo, hi], axis=-1).reshape(K, M_pad)[:, :M]
@@ -346,11 +360,18 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
         # default 16 MB scoped-vmem limit. v5e/v6 have 128 MB VMEM.
         S = _run_rotate_kernel(meta, lm3, rows, (unroll, True), interpret,
                                vmem_mb=64)
+        if raw_cells:
+            return S.reshape(K, M_pad), _positions(bank, T, W, H)
         S = S.reshape(K, M_pad)[:, :M]
-    wf = (bank.width - 1) // T + 1
-    hf = (bank.height - 1) // T + 1
-    positions = (H - hf) * W + (W - wf) + 1
+    positions = _positions(bank, T, W, H)
     if mask_positions:
         j = jnp.arange(M, dtype=jnp.int32)[None, :]
         S = jnp.where(j < positions[:, None], S, 0)
     return S, positions
+
+
+def _positions(bank: LevelBank, T: int, W: int, H: int) -> jnp.ndarray:
+    """Valid template positions per template (line2Dup.cpp:816-825)."""
+    wf = (bank.width - 1) // T + 1
+    hf = (bank.height - 1) // T + 1
+    return (H - hf) * W + (W - wf) + 1

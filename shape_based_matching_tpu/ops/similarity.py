@@ -197,6 +197,156 @@ def compact_indices(flags: jnp.ndarray, C: int):
     return idx, n_total
 
 
+def _rmin_for_threshold(nfeat: jnp.ndarray, threshold):
+    """Smallest integer raw score clearing `f32(S*100)/f32(4*nfeat) >
+    threshold` per template (see extract_candidates), plus the f32
+    normalizer 4*nfeat."""
+    t4n = (4 * nfeat).astype(jnp.float32)
+    approx = threshold * t4n / jnp.float32(100.0)
+    base = jnp.floor(approx).astype(jnp.int32) - 1
+    probes = jnp.maximum(base[:, None]
+                         + jnp.arange(4, dtype=jnp.int32)[None, :], 0)
+    ok = (probes * 100).astype(jnp.float32) / t4n[:, None] > threshold
+    big = jnp.int32(1 << 30)
+    rmin = jnp.min(jnp.where(ok, probes, big), axis=1)  # [K]
+    return rmin, t4n
+
+
+def coarse_cells_dispatch(lm: jnp.ndarray, lmflat: jnp.ndarray,
+                          bank: LevelBank, T: int, size_wh,
+                          use_pallas: bool | None = None):
+    """Coarse scores WITHOUT the [K, M] i32 materialization.
+
+    Returns (cells, positions, M): `cells` is [K, Mp >= M] in the
+    kernel's NATIVE cell dtype — u8 for the byte-packed kernel, u16 for
+    packed2, i32 otherwise — unmasked (pad cells j >= M and cells past
+    `positions` are garbage; extract_candidates_cells excludes them).
+    Feed to extract_candidates_cells; the [K, M] map never round-trips
+    HBM at 4 bytes/cell (~327 MB at K=10k on a 1024^2 frame).
+    """
+    w_img, h_img = size_wh
+    M = (w_img // T) * (h_img // T)
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    if use_pallas:
+        from .pallas.similarity_pallas import coarse_similarity_pallas
+
+        cells, positions = coarse_similarity_pallas(
+            lm, bank, T, size_wh, mask_positions=False, raw_cells=True)
+        return cells, positions, M
+    n_ori = int(lm.shape[0])
+    S, positions = coarse_similarity(lmflat, bank, T, size_wh,
+                                     mask_positions=False, n_ori=n_ori)
+    return S, positions, M
+
+
+@partial(jax.jit, static_argnames=("T", "W", "C", "M"))
+def extract_candidates_cells(cells: jnp.ndarray, positions: jnp.ndarray,
+                             nfeat: jnp.ndarray, threshold,
+                             T: int, W: int, C: int, M: int):
+    """extract_candidates on NATIVE-dtype score cells (u8/u16/i32).
+
+    Exactly the semantics of masking + extract_candidates on the i32
+    map — (template, row-major position) candidate order, the integer
+    rmin compare, and the negative-threshold quirk (cells past
+    `positions` count as score 0, so they pass iff rmin <= 0, matching
+    the reference's zero-initialized similarity Mat scan,
+    line2Dup.cpp:1190-1204) — but in ONE fused pass over the packed
+    cells plus O(C) gathers:
+
+    * block counts: the >=rmin compare fuses into a 128-lane-block sum
+      (never materializing the bool map),
+    * candidate slots find their block by TWO-level searchsorted over
+      block-count prefix sums (a [C, NB] masked reduction is O(C*K*M/128)
+      — 670M ops at K=10k — so blocks group into 128-block superblocks
+      first: O(C*NB/128 + C*256)),
+    * each slot re-derives its lane from a [C, 128] gather of the cells.
+    """
+    K, Mp = cells.shape
+    rmin, t4n = _rmin_for_threshold(nfeat, threshold)
+    cell_max = jnp.int32(jnp.iinfo(cells.dtype).max)
+    passable = rmin <= cell_max                      # [K]
+    rmin_c = jnp.minimum(rmin, cell_max).astype(cells.dtype)
+    quirk = rmin <= 0                                # [K]
+
+    j = jnp.arange(Mp, dtype=jnp.int32)[None, :]
+    live = j < positions[:, None]
+    above = (live & passable[:, None] & (cells >= rmin_c[:, None])) | (
+        quirk[:, None] & ~live & (j < M))
+
+    flat = above.reshape(-1)                         # [K * Mp] bool
+    total = K * Mp
+    nb = -(-total // 128)
+    pad = nb * 128 - total
+    if pad:  # Mp is 128-aligned in practice; keep the general case exact
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    cnt = jnp.sum(flat.reshape(nb, 128), axis=1, dtype=jnp.int32)  # [NB]
+    incl = jnp.cumsum(cnt)
+    n_above = incl[-1]
+
+    # two-level searchsorted: superblocks of 128 blocks
+    ns = -(-nb // 128)
+    cnt_p = jnp.concatenate(
+        [cnt, jnp.zeros((ns * 128 - nb,), jnp.int32)]) if ns * 128 != nb \
+        else cnt
+    sup = jnp.sum(cnt_p.reshape(ns, 128), axis=1, dtype=jnp.int32)
+    sup_incl = jnp.cumsum(sup)
+    slots = jnp.arange(C, dtype=jnp.int32)
+    sb = jnp.sum(sup_incl[None, :] <= slots[:, None], axis=1,
+                 dtype=jnp.int32)                    # [C]
+    got = sb < ns
+    sb_safe = jnp.minimum(sb, ns - 1)
+    sup_excl = sup_incl - sup
+    r1 = slots - sup_excl[sb_safe]                   # rank inside superblock
+    blk_rows = cnt_p.reshape(ns, 128)[sb_safe]       # [C, 128]
+    blk_incl = jnp.cumsum(blk_rows, axis=1)
+    bi = jnp.sum(blk_incl <= r1[:, None], axis=1, dtype=jnp.int32)
+    blk = sb_safe * 128 + jnp.minimum(bi, 127)       # global block id
+    got &= blk < nb
+    blk_safe = jnp.minimum(blk, nb - 1)
+    blk_excl = blk_incl - blk_rows
+    r2 = r1 - blk_excl[jnp.arange(C), jnp.minimum(bi, 127)]  # rank in block
+
+    # re-derive the block's 128 flags from the cells (O(C*128) gathers)
+    lane128 = jnp.arange(128, dtype=jnp.int32)[None, :]
+    gidx = blk_safe[:, None] * 128 + lane128         # [C, 128] flat index
+    gidx_c = jnp.minimum(gidx, total - 1)
+    gk = gidx_c // Mp
+    gj = gidx_c % Mp
+    gcell = cells[gk, gj].astype(jnp.int32)
+    glive = gj < positions[gk]
+    gabove = ((glive & passable[gk]
+               & (gcell >= rmin[gk])) | (quirk[gk] & ~glive & (gj < M))) \
+        & (gidx < total)
+    lane_incl = jnp.cumsum(gabove.astype(jnp.int32), axis=1)
+    lane = jnp.sum(lane_incl <= r2[:, None], axis=1, dtype=jnp.int32)
+    idx = jnp.where(got, blk_safe * 128 + jnp.minimum(lane, 127), total)
+
+    got &= idx < total
+    idx_safe = jnp.minimum(idx, total - 1)
+    k = (idx_safe // Mp).astype(jnp.int32)
+    jj = (idx_safe % Mp).astype(jnp.int32)
+    raw = jnp.where(jj < positions[k], cells[k, jj].astype(jnp.int32), 0)
+    sc = (raw * 100).astype(jnp.float32) / t4n[k]
+    offset = T // 2 + (T % 2 - 1)
+    x = (jj % W) * T + offset
+    y = (jj // W) * T + offset
+    return k, x, y, sc, got, n_above
+
+
+def coarse_candidates(lm: jnp.ndarray, lmflat: jnp.ndarray,
+                      bank: LevelBank, T: int, size_wh, threshold, C: int,
+                      use_pallas: bool | None = None):
+    """Coarse scoring + candidate extraction in one go: native-dtype
+    cells -> extract_candidates_cells (the fast path everywhere the
+    full score map isn't needed). Returns (k, x, y, sc, valid, n_above)."""
+    cells, positions, M = coarse_cells_dispatch(lm, lmflat, bank, T,
+                                                size_wh, use_pallas)
+    W = size_wh[0] // T
+    return extract_candidates_cells(cells, positions, bank.nfeat,
+                                    threshold, T, W, C, M)
+
+
 @partial(jax.jit, static_argnames=("T", "W", "C"))
 def extract_candidates(S: jnp.ndarray, nfeat: jnp.ndarray, threshold,
                        T: int, W: int, C: int):

@@ -32,8 +32,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.gradients import (quantized_orientations_color,
                              quantized_orientations_gray)
 from ..ops.response import build_linear_memories
-from ..ops.similarity import (LevelBank, coarse_similarity_dispatch,
-                              distinct_templates, extract_candidates,
+from ..ops.similarity import (LevelBank, coarse_cells_dispatch,
+                              coarse_similarity_dispatch,
+                              distinct_templates, extract_candidates_cells,
                               gather_bank, refine_from_maps,
                               use_pallas_default)
 from ..ops.filters import pyr_down_u8
@@ -118,10 +119,11 @@ def _local_match(images, banks, T_levels, sizes, weak_threshold, threshold,
                                       jnp.zeros((m,), jnp.uint8)])
             lms.append((lm, lmflat))
 
-        S, _ = coarse_similarity_dispatch(lms[-1][0], lms[-1][1], banks[-1],
-                                          t_last, sizes[-1])
-        k, x, y, sc, valid, n_above = extract_candidates(
-            S, banks[-1].nfeat, threshold, t_last, w_last, cand_cap)
+        cells, positions, M = coarse_cells_dispatch(
+            lms[-1][0], lms[-1][1], banks[-1], t_last, sizes[-1])
+        k, x, y, sc, valid, n_above = extract_candidates_cells(
+            cells, positions, banks[-1].nfeat, threshold, t_last, w_last,
+            cand_cap, M)
         n_distinct_max = jnp.int32(0)
         for l in range(levels - 2, -1, -1):
             if use_pallas and window_refine_supported(

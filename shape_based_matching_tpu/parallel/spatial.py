@@ -43,8 +43,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.similarity import (LevelBank, coarse_similarity_dispatch,
-                              distinct_templates, extract_candidates,
+from ..ops.similarity import (LevelBank, coarse_cells_dispatch,
+                              coarse_similarity_dispatch,
+                              distinct_templates, extract_candidates_cells,
                               gather_bank, refine_from_maps,
                               use_pallas_default)
 
@@ -124,11 +125,12 @@ def spatial_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
                           False, T_levels, levels, weak_threshold, n_ori,
                           False, fused=use_pallas)
 
-        S, _ = coarse_similarity_dispatch(lms[-1][0], lms[-1][1],
-                                          banks[-1], t_last, sizes[-1],
-                                          use_pallas)
-        k, x, y, sc, valid, n_above = extract_candidates(
-            S, banks[-1].nfeat, threshold, t_last, w_last, cand_cap)
+        cells, positions, M = coarse_cells_dispatch(
+            lms[-1][0], lms[-1][1], banks[-1], t_last, sizes[-1],
+            use_pallas)
+        k, x, y, sc, valid, n_above = extract_candidates_cells(
+            cells, positions, banks[-1].nfeat, threshold, t_last, w_last,
+            cand_cap, M)
         # band ownership at the coarse level: the candidate's frame row
         # (coarse pixel coords are level-(levels-1) pixels)
         scale = 2 ** (levels - 1)
