@@ -82,18 +82,22 @@ def cmd_train(args) -> int:
         s += step
 
     fid_path = os.path.join(args.model_dir, f"{args.class_id}.fid.png")
+    # render the whole sweep on host, then train it as ONE pipelined
+    # batch (device gradient programs race ahead of the host-side greedy
+    # selection; bit-identical to per-variant add_template calls)
+    sweep = [(angle, scale) for scale in scales for angle in angles]
+    srcs = np.stack([producer.transform(img, a, s) for a, s in sweep])
+    msks = np.stack([(producer.transform(mask, a, s) > 0) * np.uint8(255)
+                     for a, s in sweep])
+    tids = det.add_templates(
+        srcs, args.class_id, msks,
+        sscales=[s for _, s in sweep],
+        orientations=[a for a, _ in sweep], fiducial_src=fid_path)
     infos = []
-    for scale in scales:
-        for angle in angles:
-            src = producer.transform(img, angle, scale)
-            msk = ((producer.transform(mask, angle, scale) > 0)
-                   * np.uint8(255))
-            tid = det.add_template(src, args.class_id, msk, sscale=scale,
-                                   orientation=angle,
-                                   fiducial_src=fid_path)
-            print(f"angle={angle} scale={scale} -> template_id={tid}")
-            if tid != -1:
-                infos.append((angle, scale))
+    for (angle, scale), tid in zip(sweep, tids):
+        print(f"angle={angle} scale={scale} -> template_id={tid}")
+        if tid != -1:
+            infos.append((angle, scale))
 
     os.makedirs(args.model_dir, exist_ok=True)
     det.write_classes(os.path.join(args.model_dir, "%s.yaml.gz"))
@@ -294,11 +298,18 @@ def cmd_train_db(args) -> int:
                 angle_range=[a_lo] if a_hi <= a_lo else [a_lo, a_hi],
                 scale_range=[s_lo] if s_hi <= s_lo else [s_lo, s_hi],
                 angle_step=a_step, scale_step=s_step)
-            for info in producer.produce_infos():
-                tid = det.add_template(
-                    producer.src_of(info), class_id, producer.mask_of(info),
-                    sscale=info.scale, orientation=info.angle,
-                    tag_field_id=tag_field_id, fiducial_src=fid_path)
+            infos = producer.produce_infos()
+            # one pipelined batch per crop (identical to per-info
+            # add_template; createLinemod2DTemplates' inner loop,
+            # test_jabil.cpp:84-100)
+            tids = det.add_templates(
+                np.stack([producer.src_of(i) for i in infos]), class_id,
+                np.stack([producer.mask_of(i) for i in infos]),
+                sscales=[i.scale for i in infos],
+                orientations=[i.angle for i in infos],
+                tag_field_ids=[tag_field_id] * len(infos),
+                fiducial_src=fid_path)
+            for tid in tids:
                 if tid == -1:
                     print(f"Could not create template with ID:{tid}")
         class_ids.append(class_id)

@@ -405,7 +405,9 @@ class Detector:
 
     def add_templates(self, sources, class_id: str, object_masks=None,
                       num_features: int = 0, cand_cap: int = 4096,
-                      chunk: int = 64) -> list[int]:
+                      chunk: int = 64, sscales=None, orientations=None,
+                      tag_field_ids=None, fiducial_src: str = "none"
+                      ) -> list[int]:
         """Pipelined training sweep: train B templates from same-shaped
         frames with the dense device work batched ahead of the host-side
         greedy passes (the distributed-training pattern of SURVEY.md §5).
@@ -421,10 +423,16 @@ class Detector:
 
         Returns one template id per frame (-1 where extraction failed,
         matching add_template). Frames whose eligible-pixel count
-        overflows `cand_cap` re-run through exact add_template (rare)."""
+        overflows `cand_cap` re-run through exact add_template (rare).
+        `sscales`/`orientations`/`tag_field_ids` (optional per-frame
+        sequences) and `fiducial_src` carry the fork metadata exactly as
+        per-call add_template args would."""
         sources = np.asarray(sources)
         assert sources.ndim in (3, 4), "expected [B, H, W] or [B, H, W, 3]"
         B = sources.shape[0]
+
+        def meta_of(seq, b, default):
+            return float(seq[b]) if seq is not None else default
         gray = sources.ndim == 3
         has_mask = object_masks is not None
         masks = np.asarray(object_masks) if has_mask else None
@@ -485,10 +493,22 @@ class Detector:
                     ids[b] = self.add_template(
                         sources[b], class_id,
                         masks[b] if has_mask else None,
+                        sscale=meta_of(sscales, b, -1.0),
+                        orientation=meta_of(orientations, b, -1.0),
+                        tag_field_id=(int(tag_field_ids[b])
+                                      if tag_field_ids is not None else 0),
+                        fiducial_src=fiducial_src,
                         num_features=num_features)
                     continue
                 if not tp:
                     continue
+                for templ in tp:
+                    templ.sscale = meta_of(sscales, b, -1.0)
+                    templ.orientation = meta_of(orientations, b, -1.0)
+                    templ.tag_field_id = (int(tag_field_ids[b])
+                                          if tag_field_ids is not None
+                                          else 0)
+                    templ.fiducial_src = fiducial_src
                 crop_templates(tp)
                 pyramids.append(tp)
                 ids[b] = len(pyramids) - 1
