@@ -56,12 +56,25 @@ def main(num_templates=10000, cap=256):
         return extract_candidates(S, bank.nfeat, jnp.float32(85.0), t1,
                                   w_last, cap)
 
+    from shape_based_matching_tpu.ops.similarity import coarse_candidates
+
+    @jax.jit
+    def p2b(image, bank):
+        src1 = pyr_down_u8(image)
+        lm1 = build_linear_memories_fused(src1, 30.0, t1)
+        m1 = lm1.shape[-1]
+        lmflat1 = jnp.concatenate([lm1.reshape(-1),
+                                   jnp.zeros((m1,), jnp.uint8)])
+        return coarse_candidates(lm1, lmflat1, bank, t1, (W // 2, H // 2),
+                                 jnp.float32(85.0), cap)
+
     from __graft_entry__ import entry
     fn3, args3 = entry(num_templates=num_templates)
     p3 = jax.jit(fn3)
 
     progs = [("P1 coarse-only", lambda: p1(scene, bank1)),
-             ("P2 +extract", lambda: p2(scene, bank1)),
+             ("P2 +extract(i32 map)", lambda: p2(scene, bank1)),
+             ("P2b +extract(cells)", lambda: p2b(scene, bank1)),
              ("P3 full e2e", lambda: p3(*args3))]
     for name, f in progs:
         jax.block_until_ready(f())
