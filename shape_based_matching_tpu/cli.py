@@ -183,11 +183,26 @@ def cmd_match(args) -> int:
         print(f"no images in {args.test_dir}", file=sys.stderr)
         return 1
 
+    spatial_mesh = None
+    if getattr(args, "spatial_shards", 0):
+        from .parallel.spatial import make_spatial_mesh
+
+        spatial_mesh = make_spatial_mesh(int(args.spatial_shards))
+
     stats = CSVStat(["MATCH", "NMS", "VERIFY"])
     for path in paths:
         img = crop_to_stride(_load_image(path, gray=args.gray), stride)
         timer = Timer()
-        matches = det.match(img, args.threshold)
+        if spatial_mesh is not None:
+            # row-sharded huge-frame match over the device mesh (exact;
+            # see parallel/spatial.py) — frame height must divide the
+            # shard count
+            from .parallel.spatial import match_huge_frame
+
+            matches = match_huge_frame(det, img, args.threshold,
+                                       mesh=spatial_mesh)
+        else:
+            matches = det.match(img, args.threshold)
         timer.record("MATCH")
 
         boxes, scores = [], []
@@ -769,6 +784,9 @@ def main(argv=None) -> int:
     ma.add_argument("--debug", action="store_true",
                     help="dump quantized-orientation images")
     ma.add_argument("--gray", action="store_true")
+    ma.add_argument("--spatial-shards", type=int, default=0,
+                    help="row-shard each frame over N devices "
+                         "(parallel/spatial.py; 0 = single device)")
     ma.set_defaults(fn=cmd_match)
 
     tdb = sub.add_parser(

@@ -77,3 +77,36 @@ def test_cli_train_and_match(tmp_path):
 def test_cli_info():
     rc = main(["info", "--size", "512x512"])
     assert rc == 0
+
+
+def test_cli_match_spatial_shards(tmp_path, capsys):
+    """--spatial-shards routes frames through match_huge_frame (row
+    sharding over the virtual CPU mesh) and must report the same matches
+    as the single-device CLI match."""
+    templ = synthetic_shape_image(96, seed=2)
+    scene = synthetic_scene(1024, 256, templ, n_instances=2, seed=11)
+
+    img_path = str(tmp_path / "templ.png")
+    save_image(templ, img_path)
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    save_image(scene, str(frames / "scene.png"))
+
+    model_dir = str(tmp_path / "models")
+    rc = main(["train", "--model-dir", model_dir, "--class-id", "shape",
+               "--image", img_path, "--angles", "0",
+               "--scales", "1.0", "--num-features", "48", "--gray"])
+    assert rc == 0
+
+    def run(extra):
+        rc = main(["match", "--model-dir", model_dir, "--test-dir",
+                   str(frames), "--threshold", "80", "--nms", "0.5",
+                   "--gray"] + extra)
+        assert rc == 0
+        out = capsys.readouterr().out
+        return sorted(l.strip() for l in out.splitlines()
+                      if l.strip().startswith("class="))
+
+    single = run([])
+    sharded = run(["--spatial-shards", "2"])
+    assert single and sharded == single
