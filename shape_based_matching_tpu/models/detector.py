@@ -991,6 +991,12 @@ class Detector:
         tid_of_k = np.concatenate(
             [np.arange(kk, dtype=np.int64) for kk in ks])
         cached = (banks, class_of_k, tid_of_k)
+        # bound the cache (device memory): callers alternating many class
+        # SUBSETS would otherwise accumulate merged banks indefinitely
+        while len(self._merged_banks) >= 8:
+            old = next(iter(self._merged_banks))
+            for b in self._merged_banks.pop(old)[0]:
+                self._bank_maxdims.pop(id(b), None)
         self._merged_banks[order] = cached
         return self._remap_merged(cached, order, class_ids)
 
