@@ -232,14 +232,29 @@ def cmd_match(args) -> int:
             kept = verified
         timer.record("VERIFY")
 
+        icp_by_match = {}
+        if getattr(args, "icp", False) and kept:
+            from .models.icp import refine_matches_icp
+
+            gray_img = img if img.ndim == 2 else bgr2gray_u8(img)
+            for r_icp in refine_matches_icp(det, gray_img, kept):
+                icp_by_match[id(r_icp["match"])] = r_icp
+
         r = timer.records
         stats.append([r.get("MATCH", 0), r.get("NMS", 0), r.get("VERIFY", 0)])
         print(f"{os.path.basename(path)}: {len(matches)} matches, "
               f"{len(kept)} after NMS/verify "
               f"[match {r.get('MATCH', 0):.1f} ms]")
         for m in kept[: args.top_k]:
-            print(f"  class={m.class_id} tid={m.template_id} "
-                  f"x={m.x} y={m.y} sim={m.similarity:.2f}")
+            line = (f"  class={m.class_id} tid={m.template_id} "
+                    f"x={m.x} y={m.y} sim={m.similarity:.2f}")
+            ri = icp_by_match.get(id(m))
+            if ri is not None and ri["valid"]:
+                line += (f" icp[x={ri['tx']:.2f} y={ri['ty']:.2f} "
+                         f"dtheta={ri['dtheta_deg']:+.3f} "
+                         f"dscale={ri['dscale']:.4f} "
+                         f"rmse={ri['rmse']:.2f}]")
+            print(line)
 
         if args.annotate:
             os.makedirs(args.annotate, exist_ok=True)
@@ -787,6 +802,9 @@ def main(argv=None) -> int:
     ma.add_argument("--spatial-shards", type=int, default=0,
                     help="row-shard each frame over N devices "
                          "(parallel/spatial.py; 0 = single device)")
+    ma.add_argument("--icp", action="store_true",
+                    help="subpixel sim2 pose refinement per kept match "
+                         "(models/icp.py)")
     ma.set_defaults(fn=cmd_match)
 
     tdb = sub.add_parser(

@@ -1,0 +1,276 @@
+"""Subpixel / ICP sim2 pose refinement on matched edge points.
+
+The reference repo's README points at its icp2D/subpixel/sim3 branches
+(README.md:8-10: "icp 0.1-0.5 degree accuracy", "subpixel under 0.1
+degree", "sim3 to handle scale") — the branches are not in the mounted
+tree, so this is a from-scratch TPU-native design for the same
+capability (BASELINE.json "production batch": subpixel/ICP sim3 pose
+refine), not a port:
+
+* scene edge extraction reuses the bit-exact LINE-2D frontend
+  (blur/sobel) plus a gradient-direction non-max suppression —
+  one fused device pass;
+* nearest-edge correspondences come from a JUMP-FLOOD nearest-seed
+  field (log2(R) passes of 9 static shifted min-selects — no kd-tree,
+  no data-dependent control flow), giving every pixel the offset to
+  its nearest edge pixel and that edge's unit normal;
+* each ICP iteration solves the POINT-TO-PLANE least squares for a
+  similarity transform directly (the residual n·(T(p) - q) is LINEAR
+  in the sim2 parameters (a, b, tx, ty) = (s·cos, s·sin, t)), so one
+  4x4 solve per candidate per iteration — batched over all matches
+  with vmap, iterated with lax.scan. No Gauss-Newton damping needed.
+
+Angle/scale fall out as atan2(b, a) / hypot(a, b). Accuracy contract
+(tests/test_icp.py): pose recovered within 0.1 degree / 0.5% scale /
+0.35 px median point error on clean synthetic warps — the README-claimed
+"subpixel" accuracy tier.
+
+Relationship to models/refine.py: refine_detections is the coarser
+point-to-POINT Procrustes refiner (window-searched correspondences,
+also offers a 6-DOF affine model, ~0.5-0.7 degree envelope); this module
+is the high-precision sim2 backend (point-to-plane + subpixel edges +
+O(1) jump-flood correspondences). Use refine_detections for affine/
+robust cases, refine_matches_icp when subpixel pose matters.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.filters import gaussian_blur7_u8, sobel3_f32
+
+
+class IcpResult(NamedTuple):
+    """Refined pose per match: scene_pt = R(dtheta)*dscale*(templ_pt) +
+    (tx, ty), where templ_pt is in the matched template's frame."""
+
+    dtheta_deg: jnp.ndarray  # [C] residual rotation (degrees, CCW)
+    dscale: jnp.ndarray      # [C] residual scale
+    tx: jnp.ndarray          # [C] refined template-origin x (subpixel)
+    ty: jnp.ndarray          # [C]
+    rmse: jnp.ndarray        # [C] point-to-plane RMS residual (px)
+    inliers: jnp.ndarray     # [C] int32 correspondences in the last iter
+    valid: jnp.ndarray       # [C] bool — enough inliers to trust
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def edge_nearest_field(src: jnp.ndarray, weak_threshold, radius: int = 8):
+    """Scene edge field for ICP: (offset-to-nearest-edge [H, W, 2] i32,
+    edge normal [H, W, 2] f32, edge mask [H, W] bool).
+
+    Edges are gradient-magnitude local maxima ALONG the gradient
+    direction (canny-style NMS on the LINE-2D frontend's blur+sobel),
+    thresholded at the detector's weak threshold. The nearest-seed field
+    runs jump flooding: passes at strides radius/2..1 propagate each
+    pixel's best-known seed from 8 neighbors — O(log R) static shifted
+    min-selects, exact within `radius`.
+    """
+    smoothed = gaussian_blur7_u8(src)
+    dx = sobel3_f32(smoothed, dx=True)
+    dy = sobel3_f32(smoothed, dx=False)
+    mag = dx * dx + dy * dy
+    h, w = mag.shape
+
+    # gradient-direction NMS: compare against the two neighbors along
+    # the dominant direction (8-way quantized)
+    ang = jnp.arctan2(dy, dx)  # [-pi, pi]
+    octant = jnp.round(ang / (jnp.pi / 4)).astype(jnp.int32) % 4
+    padm = jnp.pad(mag, 1, constant_values=-1.0)
+
+    def shift(dr, dc):
+        return jax.lax.dynamic_slice(padm, (1 + dr, 1 + dc), (h, w))
+
+    n0 = [shift(0, 1), shift(1, 1), shift(1, 0), shift(1, -1)]
+    n1 = [shift(0, -1), shift(-1, -1), shift(-1, 0), shift(-1, 1)]
+    fwd = jnp.select([octant == i for i in range(4)], n0)
+    bwd = jnp.select([octant == i for i in range(4)], n1)
+    thr = jnp.asarray(weak_threshold, jnp.float32) ** 2
+    edge = (mag > thr) & (mag >= fwd) & (mag >= bwd)
+
+    inv = jnp.sqrt(jnp.maximum(mag, 1e-12))
+    normal = jnp.stack([dx / inv, dy / inv], axis=-1)  # unit gradient
+
+    # SUBPIXEL edge localization: parabola through the |g| profile along
+    # the (8-way quantized) gradient direction — the peak offset moves
+    # the edge off the integer raster (the "subpixel" capability of the
+    # reference's branches; integer edges bias ICP rotations ~0.1 deg)
+    g0 = jnp.sqrt(jnp.maximum(mag, 0.0))
+    gf = jnp.sqrt(jnp.maximum(fwd, 0.0))
+    gb = jnp.sqrt(jnp.maximum(bwd, 0.0))
+    denom = gb - 2.0 * g0 + gf
+    delta = jnp.where(jnp.abs(denom) > 1e-6,
+                      0.5 * (gb - gf) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    step_x = jnp.select([octant == i for i in range(4)],
+                        [jnp.float32(v) for v in (1.0, 1.0, 0.0, -1.0)])
+    step_y = jnp.select([octant == i for i in range(4)],
+                        [jnp.float32(v) for v in (0.0, 1.0, 1.0, 1.0)])
+    subpix = jnp.stack([delta * step_x, delta * step_y], axis=-1)
+
+    # jump flooding: seed coords propagate toward every pixel
+    big = jnp.int32(1 << 20)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    seed_r = jnp.where(edge, rows, big)
+    seed_c = jnp.where(edge, cols, big)
+
+    def dist2(sr, sc):
+        dr = (sr - rows).astype(jnp.float32)
+        dc = (sc - cols).astype(jnp.float32)
+        return jnp.where(sr >= big, jnp.float32(1e18), dr * dr + dc * dc)
+
+    s = 1
+    strides = []
+    while s < radius:
+        s *= 2
+    while s >= 1:
+        strides.append(s)
+        s //= 2
+    for s in strides:
+        best = dist2(seed_r, seed_c)
+        for dr in (-s, 0, s):
+            for dc in (-s, 0, s):
+                if dr == 0 and dc == 0:
+                    continue
+                pr = jnp.pad(seed_r, ((s, s), (s, s)), constant_values=big)
+                pc = jnp.pad(seed_c, ((s, s), (s, s)), constant_values=big)
+                cr = jax.lax.dynamic_slice(pr, (s + dr, s + dc), (h, w))
+                cc = jax.lax.dynamic_slice(pc, (s + dr, s + dc), (h, w))
+                d = dist2(cr, cc)
+                take = d < best
+                best = jnp.where(take, d, best)
+                seed_r = jnp.where(take, cr, seed_r)
+                seed_c = jnp.where(take, cc, seed_c)
+
+    off = jnp.stack([jnp.where(seed_c >= big, 0, seed_c - cols),
+                     jnp.where(seed_r >= big, 0, seed_r - rows)],
+                    axis=-1).astype(jnp.int32)  # (dx, dy)
+    has = (seed_r < big) & (jnp.abs(off[..., 0]) <= radius) \
+        & (jnp.abs(off[..., 1]) <= radius)
+    return off, normal, edge, has, subpix
+
+
+@partial(jax.jit, static_argnames=("iters", "radius"))
+def icp_refine_points(off, normal, has, subpix, pts, origins, pt_valid,
+                      iters: int = 12, radius: int = 8,
+                      min_inliers: int = 8) -> IcpResult:
+    """Batched sim2 point-to-plane ICP.
+
+    off/normal/has/subpix: the edge_nearest_field outputs.
+    pts: [C, N, 2] f32 template edge points (template frame).
+    origins: [C, 2] f32 initial template origins in the scene (the
+    LINE-2D match position). pt_valid: [C, N] bool feature mask.
+    """
+    h, w = has.shape
+
+    def lookup(field, yy, xx):
+        yy = jnp.clip(yy, 0, h - 1)
+        xx = jnp.clip(xx, 0, w - 1)
+        return field[yy, xx]
+
+    def one(pts_c, origin, pv):
+        # state: (a, b, tx, ty) with scene = [a -b; b a] @ p + t
+        init = jnp.array([1.0, 0.0, origin[0], origin[1]], jnp.float32)
+
+        def step(state, _):
+            a, b, tx, ty = state
+            px, py = pts_c[:, 0], pts_c[:, 1]
+            qx = a * px - b * py + tx
+            qy = b * px + a * py + ty
+            ix = jnp.round(qx).astype(jnp.int32)
+            iy = jnp.round(qy).astype(jnp.int32)
+            o = lookup(off, iy, ix)               # [N, 2] (dx, dy)
+            ok = lookup(has, iy, ix) & pv
+            ei = ix + o[:, 0]                     # nearest edge pixel
+            ej = iy + o[:, 1]
+            n = lookup(normal, ej, ei)            # [N, 2]
+            sp = lookup(subpix, ej, ei)           # [N, 2] subpixel shift
+            ex = ei.astype(jnp.float32) + sp[:, 0]
+            ey = ej.astype(jnp.float32) + sp[:, 1]
+            # residual r = n . (T(p) - e); reject far correspondences
+            d2 = (qx - ex) ** 2 + (qy - ey) ** 2
+            ok &= d2 <= jnp.float32(radius * radius)
+            wgt = ok.astype(jnp.float32)
+            nx, ny = n[:, 0], n[:, 1]
+            # linear system rows: r = M @ (a, b, tx, ty) - n.e
+            M = jnp.stack([nx * px + ny * py,
+                           -nx * py + ny * px,
+                           nx, ny], axis=1)       # [N, 4]
+            rhs = nx * ex + ny * ey               # [N]
+            A = (M * wgt[:, None]).T @ M          # 4x4
+            v = (M * wgt[:, None]).T @ rhs
+            n_in = jnp.sum(ok)
+            # Tikhonov anchor toward the current state when degenerate
+            lam = jnp.float32(1e-3)
+            A = A + lam * jnp.eye(4, dtype=jnp.float32)
+            v = v + lam * state
+            new = jnp.linalg.solve(A, v)
+            new = jnp.where(n_in >= min_inliers, new, state)
+            r = (M @ new - rhs) * wgt
+            rmse = jnp.sqrt(jnp.sum(r * r)
+                            / jnp.maximum(n_in, 1).astype(jnp.float32))
+            return new, (rmse, n_in)
+
+        state, (rmses, n_ins) = jax.lax.scan(step, init, None,
+                                             length=iters)
+        a, b, tx, ty = state
+        return (jnp.degrees(jnp.arctan2(b, a)), jnp.hypot(a, b), tx, ty,
+                rmses[-1], n_ins[-1].astype(jnp.int32),
+                n_ins[-1] >= min_inliers)
+
+    outs = jax.vmap(one)(pts, origins, pt_valid)
+    return IcpResult(*outs)
+
+
+def refine_matches_icp(detector, source, matches, iters: int = 12,
+                       radius: int = 8):
+    """Host convenience: sim2-refine a list of LINE-2D Matches against
+    `source`. Returns a list of dicts ({match, dtheta_deg, dscale, tx,
+    ty, rmse, inliers, valid}); the refined SUBPIXEL template origin is
+    (tx, ty), and the total pose composes the matched template's trained
+    angle/scale metadata with the residual (dtheta, dscale)."""
+    import numpy as np
+
+    if not matches:
+        return []
+    src = jnp.asarray(np.asarray(source))
+    if src.ndim == 3:
+        from ..utils.verify import bgr2gray_u8
+
+        src = jnp.asarray(bgr2gray_u8(np.asarray(source)))
+    off, normal, edge, has, subpix = edge_nearest_field(
+        src, jnp.float32(detector.weak_threshold), radius)
+
+    N = max(len(detector.get_templates(m.class_id, m.template_id)[0]
+                .features) for m in matches)
+    C = len(matches)
+    pts = np.zeros((C, N, 2), np.float32)
+    pv = np.zeros((C, N), bool)
+    origins = np.zeros((C, 2), np.float32)
+    for i, m in enumerate(matches):
+        t0 = detector.get_templates(m.class_id, m.template_id)[0]
+        for j, f in enumerate(t0.features):
+            pts[i, j] = (f.x, f.y)
+            pv[i, j] = True
+        origins[i] = (m.x, m.y)
+    res = icp_refine_points(off, normal, has, subpix, jnp.asarray(pts),
+                            jnp.asarray(origins), jnp.asarray(pv),
+                            iters=iters, radius=radius)
+    out = []
+    for i, m in enumerate(matches):
+        out.append({
+            "match": m,
+            "dtheta_deg": float(res.dtheta_deg[i]),
+            "dscale": float(res.dscale[i]),
+            "tx": float(res.tx[i]),
+            "ty": float(res.ty[i]),
+            "rmse": float(res.rmse[i]),
+            "inliers": int(res.inliers[i]),
+            "valid": bool(res.valid[i]),
+        })
+    return out

@@ -27,7 +27,9 @@ Algorithm (all candidates refined in one batched jit):
 
 Accuracy (tests/test_refine.py): recovers sub-degree rotations and subpixel
 translations on synthetic scenes, matching the reference branches' claimed
-0.1–0.5° envelope.
+0.1–0.5° envelope. For the tighter "subpixel" tier (0.1 deg / 0.5% scale,
+point-to-plane + subpixel edge localization + jump-flood correspondences)
+see models/icp.py:refine_matches_icp.
 """
 
 from __future__ import annotations

@@ -110,3 +110,26 @@ def test_cli_match_spatial_shards(tmp_path, capsys):
     single = run([])
     sharded = run(["--spatial-shards", "2"])
     assert single and sharded == single
+
+
+def test_cli_match_icp_flag(tmp_path, capsys):
+    """--icp appends a refined subpixel pose to each reported match."""
+    templ = synthetic_shape_image(128, seed=0)
+    scene = synthetic_scene(256, 256, templ, n_instances=1, seed=5)
+
+    img_path = str(tmp_path / "templ.png")
+    save_image(templ, img_path)
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    save_image(scene, str(frames / "scene.png"))
+
+    model_dir = str(tmp_path / "models")
+    rc = main(["train", "--model-dir", model_dir, "--class-id", "shape",
+               "--image", img_path, "--angles", "0",
+               "--scales", "1.0", "--num-features", "48", "--gray"])
+    assert rc == 0
+    rc = main(["match", "--model-dir", model_dir, "--test-dir", str(frames),
+               "--threshold", "80", "--gray", "--icp"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "icp[x=" in out and "dtheta=" in out

@@ -1,0 +1,138 @@
+"""Subpixel / ICP sim2 pose refinement (models/icp.py).
+
+The reference's icp2D/subpixel/sim3 branches are absent from the mount,
+so the contract is the README-claimed accuracy (README.md:8-10: icp
+0.1-0.5 deg, subpixel <0.1 deg, sim3 handles scale): on clean synthetic
+warps the refined pose must recover rotation within 0.1 deg, scale
+within 0.5%, and per-point positions within ~0.3 px — far beyond the
+T-quantized LINE-2D match grid."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from shape_based_matching_tpu import Detector
+from shape_based_matching_tpu.models.icp import (edge_nearest_field,
+                                                 icp_refine_points,
+                                                 refine_matches_icp)
+from shape_based_matching_tpu.utils.synthetic import synthetic_shape_image
+
+
+def _warp_into(scene, templ, angle_deg, scale, offset_xy):
+    """Bilinear inverse warp of `templ` (rotate by angle around its
+    center, scale, translate by offset) composited into `scene`."""
+    h, w = scene.shape
+    th, tw = templ.shape
+    cy, cx = (th - 1) / 2.0, (tw - 1) / 2.0
+    phi = np.deg2rad(angle_deg)
+    ca, sa = np.cos(phi), np.sin(phi)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    # inverse map: template coords for each scene pixel
+    dx = xs - cx - offset_xy[0]
+    dy = ys - cy - offset_xy[1]
+    qx = (ca * dx + sa * dy) / scale + cx
+    qy = (-sa * dx + ca * dy) / scale + cy
+    x0 = np.floor(qx).astype(int)
+    y0 = np.floor(qy).astype(int)
+    fx = qx - x0
+    fy = qy - y0
+    ok = (x0 >= 0) & (x0 < tw - 1) & (y0 >= 0) & (y0 < th - 1)
+    x0c = np.clip(x0, 0, tw - 2)
+    y0c = np.clip(y0, 0, th - 2)
+    t = templ.astype(np.float64)
+    val = ((1 - fy) * ((1 - fx) * t[y0c, x0c] + fx * t[y0c, x0c + 1])
+           + fy * ((1 - fx) * t[y0c + 1, x0c] + fx * t[y0c + 1, x0c + 1]))
+    out = scene.astype(np.float64)
+    out = np.where(ok, np.maximum(out, val), out)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _forward(pts, angle_deg, scale, center, offset_xy):
+    phi = np.deg2rad(angle_deg)
+    ca, sa = np.cos(phi), np.sin(phi)
+    d = pts - center
+    return np.stack([
+        scale * (ca * d[:, 0] - sa * d[:, 1]) + center[0] + offset_xy[0],
+        scale * (sa * d[:, 0] + ca * d[:, 1]) + center[1] + offset_xy[1],
+    ], axis=1)
+
+
+@pytest.mark.parametrize("angle,scale", [(2.5, 1.02), (-3.0, 0.985),
+                                         (0.0, 1.0)])
+def test_icp_recovers_synthetic_pose(angle, scale):
+    templ_img = synthetic_shape_image(128, seed=6)
+    det = Detector(num_features=63)
+    tid = det.add_template(templ_img, "s", np.full_like(templ_img, 255))
+    assert tid == 0
+    t0 = det.get_templates("s", 0)[0]
+
+    scene0 = np.full((256, 256), 12, np.uint8)
+    offset = (61.0, 47.0)
+    scene = _warp_into(scene0, templ_img, angle, scale, offset)
+
+    matches = det.match(scene, 55.0)
+    assert matches and matches[0].template_id == 0
+    m = matches[0]
+
+    res = refine_matches_icp(det, scene, [m])[0]
+    assert res["valid"] and res["inliers"] >= 30
+
+    # ground truth for each template-frame feature point
+    feats = np.array([(f.x, f.y) for f in t0.features], np.float64)
+    center = np.array([(128 - 1) / 2.0, (128 - 1) / 2.0])
+    truth = _forward(feats + np.array([t0.tl_x, t0.tl_y]), angle, scale,
+                     center, offset)
+    phi = np.deg2rad(res["dtheta_deg"])
+    s = res["dscale"]
+    pred = np.stack([
+        s * (np.cos(phi) * feats[:, 0] - np.sin(phi) * feats[:, 1])
+        + res["tx"],
+        s * (np.sin(phi) * feats[:, 0] + np.cos(phi) * feats[:, 1])
+        + res["ty"],
+    ], axis=1)
+    err = np.sqrt(((pred - truth) ** 2).sum(1))
+    assert np.median(err) < 0.35, (np.median(err), err.max())
+    assert abs(res["dtheta_deg"] - angle) < 0.1
+    assert abs(res["dscale"] - scale) < 0.005
+    # the coarse match is T-grid quantized; the refined origin is subpixel
+    assert res["rmse"] < 0.5
+
+
+def test_icp_invalid_when_no_edges():
+    det = Detector(num_features=32)
+    templ_img = synthetic_shape_image(96, seed=1)
+    det.add_template(templ_img, "s", np.full_like(templ_img, 255))
+    flat = np.full((128, 128), 50, np.uint8)
+
+    from shape_based_matching_tpu.models.detector import Match
+
+    res = refine_matches_icp(det, flat, [Match(10, 10, 90.0, "s", 0)])[0]
+    assert not res["valid"]
+
+
+def test_jump_flood_nearest_field():
+    img = np.full((64, 64), 10, np.uint8)
+    img[20:44, 20:44] = 200  # a square: edges on its border
+    off, normal, edge, has, subpix = edge_nearest_field(
+        jnp.asarray(img), 30.0, 8)
+    edge = np.asarray(edge)
+    off = np.asarray(off)
+    has = np.asarray(has)
+    ys, xs = np.nonzero(edge)
+    assert len(ys) > 0
+    # every pixel within radius of an edge points AT an edge pixel
+    pts = set(zip(ys.tolist(), xs.tolist()))
+    checked = 0
+    for y in range(0, 64, 5):
+        for x in range(0, 64, 5):
+            if has[y, x]:
+                ty, tx = y + off[y, x, 1], x + off[y, x, 0]
+                assert (ty, tx) in pts, (y, x, ty, tx)
+                # and it is genuinely the nearest (within +1 px slack:
+                # jump flooding is near-exact; ties may differ)
+                d = np.hypot(ys - y, xs - x).min()
+                got = np.hypot(ty - y, tx - x)
+                assert got <= d + 1.0, (y, x, got, d)
+                checked += 1
+    assert checked > 50
