@@ -136,3 +136,27 @@ def test_jump_flood_nearest_field():
                 assert got <= d + 1.0, (y, x, got, d)
                 checked += 1
     assert checked > 50
+
+
+def test_icp_on_case1_real_data():
+    """Real-imagery sanity: refine the case1 golden demo's top match —
+    the rotation bank quantizes at 1 deg, so the ICP residual rotation
+    must stay within ~+-0.6 deg and converge to a sub-pixel RMSE."""
+    import os
+
+    ref = "/root/reference/test/case1"
+    if not os.path.isdir(ref):
+        pytest.skip("reference mount absent")
+    from .golden_utils import load_mat
+
+    det = Detector(num_features=128, T=(4, 8))
+    det.read_classes(["test"], f"{ref}/%s_templ.yaml")
+    img = load_mat("case1_img.bin")
+    matches = det.match(img, 90.0, ["test"])
+    assert matches
+    res = refine_matches_icp(det, img, matches[:3])
+    top = res[0]
+    assert top["valid"] and top["inliers"] >= 60
+    assert abs(top["dtheta_deg"]) < 0.6, top
+    assert abs(top["dscale"] - 1.0) < 0.01, top
+    assert top["rmse"] < 0.6, top
