@@ -145,3 +145,33 @@ def test_pallas_coarse_16ori(rng):
     S1, _ = coarse_similarity_pallas(jnp.asarray(lm), bank, T, (W, H),
                                      interpret=not ON_TPU)
     np.testing.assert_array_equal(np.asarray(S0), np.asarray(S1))
+
+
+@pytest.mark.parametrize("group", [4, 8])
+def test_pallas_coarse_group_sizes(rng, group, monkeypatch):
+    """_COARSE_GROUP (templates per grid program) is a pure scheduling
+    knob: any value must stay bit-identical to the XLA path, including
+    a K that is not a group multiple (pad rows carry count 0)."""
+    import shape_based_matching_tpu.ops.pallas.similarity_pallas as sp
+
+    monkeypatch.setattr(sp, "_COARSE_GROUP", group)
+    T = 8
+    H = W = 256
+    M = (H // T) * (W // T)
+    lm = rng.randint(0, 5, (8, T * T, M)).astype(np.uint8)
+    lmflat = jnp.concatenate([jnp.asarray(lm.reshape(-1)),
+                              jnp.zeros((M,), jnp.uint8)])
+    templates = []
+    for _ in range(group + 3):  # not a multiple of group
+        n = int(rng.randint(5, 64))
+        feats = [(int(rng.randint(0, 64)), int(rng.randint(0, 64)),
+                  int(rng.randint(0, 8))) for _ in range(n)]
+        templates.append({"features": feats, "width": 64, "height": 64})
+    bank = pack_level_bank(templates)
+    S0, p0 = coarse_similarity(lmflat, bank, T, (W, H),
+                               mask_positions=True)
+    S1, p1 = coarse_similarity_pallas(jnp.asarray(lm), bank, T, (W, H),
+                                      interpret=not ON_TPU,
+                                      mask_positions=True)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(S0), np.asarray(S1))
