@@ -58,7 +58,6 @@ class IcpResult(NamedTuple):
     valid: jnp.ndarray       # [C] bool — enough inliers to trust
 
 
-@partial(jax.jit, static_argnames=("radius",))
 def edge_nearest_field(src: jnp.ndarray, weak_threshold, radius: int = 8):
     """Scene edge field for ICP: (offset-to-nearest-edge [H, W, 2] i32,
     edge normal [H, W, 2] f32, edge mask [H, W] bool).
@@ -69,7 +68,25 @@ def edge_nearest_field(src: jnp.ndarray, weak_threshold, radius: int = 8):
     runs jump flooding: passes at strides radius/2..1 propagate each
     pixel's best-known seed from 8 neighbors — O(log R) static shifted
     min-selects, exact within `radius`.
+
+    Deliberately THREE compiled programs (frontend, flood, epilogue),
+    not one: XLA CPU duplicates the flood's 32 chained pad/slice/select
+    updates into every downstream consumer — one fused program (or even
+    flood+epilogue, whose off/has each re-consume the seed planes) blows
+    the HLO up ~40x and a 1 MP frame takes MINUTES on CPU instead of
+    <1 s. jax.lax.optimization_barrier does not survive compilation to
+    stop it. Measured split cost: ~2 s/MP frame total on 1 CPU
+    (frontend 1.1 s, flood 0.7 s, epilogue 0.1 s); the two extra
+    program boundaries are a few MB of HBM traffic on TPU.
     """
+    edge, normal, subpix = _edge_frontend(src, weak_threshold)
+    seed_r, seed_c = _jump_flood(edge, radius=radius)
+    off, has = _flood_epilogue(seed_r, seed_c, radius=radius)
+    return off, normal, edge, has, subpix
+
+
+@jax.jit
+def _edge_frontend(src: jnp.ndarray, weak_threshold):
     smoothed = gaussian_blur7_u8(src)
     dx = sobel3_f32(smoothed, dx=True)
     dy = sobel3_f32(smoothed, dx=False)
@@ -111,7 +128,13 @@ def edge_nearest_field(src: jnp.ndarray, weak_threshold, radius: int = 8):
     step_y = jnp.select([octant == i for i in range(4)],
                         [jnp.float32(v) for v in (0.0, 1.0, 1.0, 1.0)])
     subpix = jnp.stack([delta * step_x, delta * step_y], axis=-1)
+    return edge, normal, subpix
 
+
+@partial(jax.jit, static_argnames=("radius",))
+def _jump_flood(edge: jnp.ndarray, radius: int = 8):
+    """Nearest-seed field by jump flooding (see edge_nearest_field)."""
+    h, w = edge.shape
     # jump flooding: seed coords propagate toward every pixel
     big = jnp.int32(1 << 20)
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -147,12 +170,22 @@ def edge_nearest_field(src: jnp.ndarray, weak_threshold, radius: int = 8):
                 seed_r = jnp.where(take, cr, seed_r)
                 seed_c = jnp.where(take, cc, seed_c)
 
+    return seed_r, seed_c
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def _flood_epilogue(seed_r, seed_c, radius: int = 8):
+    """Seed planes -> (offset-to-nearest [H, W, 2], within-radius mask)."""
+    h, w = seed_r.shape
+    big = jnp.int32(1 << 20)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     off = jnp.stack([jnp.where(seed_c >= big, 0, seed_c - cols),
                      jnp.where(seed_r >= big, 0, seed_r - rows)],
                     axis=-1).astype(jnp.int32)  # (dx, dy)
     has = (seed_r < big) & (jnp.abs(off[..., 0]) <= radius) \
         & (jnp.abs(off[..., 1]) <= radius)
-    return off, normal, edge, has, subpix
+    return off, has
 
 
 @partial(jax.jit, static_argnames=("iters", "radius"))
