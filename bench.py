@@ -202,6 +202,43 @@ def _measure_icp(num_matches: int = 64, iters: int = 20):
     return _min_of(run, iters)
 
 
+def _measure_production_batch(num_templates: int = 1000,
+                              num_features: int = 128,
+                              iters: int = 10):
+    """BASELINE.json "production batch" config as ONE flow: match a
+    1000+-template bank (wide-feature u16 path) on a 1024x1024 frame,
+    then subpixel/ICP-refine the surviving detections. Returns ms/frame
+    for the full match -> Match objects -> sim2 refine pipeline
+    (host-side NMS + Match construction included — this is the
+    deployment loop, not a kernel time)."""
+    import jax
+
+    from shape_based_matching_tpu.models.icp import refine_matches_icp
+    from shape_based_matching_tpu.utils.synthetic import (
+        build_rotated_detector, synthetic_scene)
+
+    det, templ_img = build_rotated_detector(num_templates=num_templates,
+                                            num_features=num_features)
+    frame = synthetic_scene(1024, 1024, templ_img, n_instances=4, seed=7)
+    dev_frame = jax.device_put(frame)
+    jax.block_until_ready(dev_frame)
+
+    def once():
+        matches = det.match(dev_frame, 85.0)
+        return refine_matches_icp(det, dev_frame, matches[:32])
+
+    res = once()  # compile
+    assert res, "production batch found no matches"
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            once()
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
 def _measure_case1(iters: int = 20):
     """Real-data baseline (SURVEY.md §6): the upstream case1 angle demo —
     361 rotation templates x 128 features, trained by the compiled C++
@@ -256,6 +293,7 @@ _METRICS = {
     "train_sweep": lambda: _measure_train_sweep(128, 256),
     "bank_build_10k": lambda: _measure_bank_build(10000),
     "icp_refine": lambda: _measure_icp(64),
+    "production_batch": lambda: _measure_production_batch(1000, 128),
 }
 
 # Metrics whose failure should not zero the whole artifact: everything
@@ -324,6 +362,8 @@ def main():
         vals["train_sweep"][0] if vals["train_sweep"] else None, 1)
     put("bank_build_10000templates_s", vals["bank_build_10k"], 2)
     put("icp_refine_64matches_1024x1024_e2e_ms", vals["icp_refine"], 3)
+    put("production_batch_1000t_128f_match_icp_ms",
+        vals["production_batch"], 3)
     if vals["e2e360"] is not None:
         detail["vs_baseline_360"] = round(BASELINE_360_MS / vals["e2e360"],
                                           2)
