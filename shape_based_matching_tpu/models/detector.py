@@ -191,11 +191,12 @@ def _batch_pyramid(sources, masks, gray: bool, has_mask: bool, T: tuple,
 
 @partial(jax.jit, static_argnames=("T", "levels", "use_pallas", "sizes",
                                    "cand_cap", "d_cap", "pathological",
-                                   "window_ok"))
+                                   "window_ok", "chain_desc"))
 def _match_batch_class(lms, banks, threshold, T: tuple, levels: int,
                        use_pallas: bool, sizes: tuple, cand_cap: int,
                        d_cap: int, pathological: tuple,
-                       window_ok: tuple = ()):
+                       window_ok: tuple = (), chain_plan=None,
+                       chain_desc=None):
     """Device-complete batched matchClass: coarse scoring -> candidate
     compaction -> pyramid refinement for B frames in ONE program — the
     streaming/batch replacement for the per-frame host-sync escalation
@@ -215,7 +216,8 @@ def _match_batch_class(lms, banks, threshold, T: tuple, levels: int,
     def per_frame(lm_tuple):
         lm_last, lmflat_last = lm_tuple[-1][0], lm_tuple[-1][1]
         cells, positions, M = coarse_cells_dispatch(
-            lm_last, lmflat_last, banks[-1], t_last, size_last, use_pallas)
+            lm_last, lmflat_last, banks[-1], t_last, size_last, use_pallas,
+            chain=chain_plan, chain_desc=chain_desc)
         k, x, y, sc, valid, n_above = extract_candidates_cells(
             cells, positions, banks[-1].nfeat, threshold, t_last, w_last,
             cand_cap, M)
@@ -357,6 +359,9 @@ class Detector:
         # id(bank) -> (max width, max height) on the host (see
         # _is_pathological)
         self._bank_maxdims: dict[int, tuple[int, int]] = {}
+        # (id(bank), size_wh) -> (ChainPlan, ChainDesc) | None — coarse
+        # delta-chain plans for dense banks (ops/pallas/chain_plan.py)
+        self._chain_plans: dict[tuple, object] = {}
 
     # ------------------------------------------------------------------
     # Template management
@@ -782,10 +787,36 @@ class Detector:
 
         window_ok = tuple(_refine_mode(l)
                           for l in range(self.pyramid_levels - 1))
+        chain = (self._get_chain(banks[-1], sizes[-1])
+                 if use_pallas else None)
+        chain_plan, chain_desc = chain if chain is not None else (None,
+                                                                  None)
         return _match_batch_class(
             lms, tuple(banks), jnp.float32(threshold),
             self.T_at_level, self.pyramid_levels, use_pallas, sizes,
-            cand_cap, min(distinct_cap, K), pathological, window_ok)
+            cand_cap, min(distinct_cap, K), pathological, window_ok,
+            chain_plan, chain_desc)
+
+    def _get_chain(self, bank, size_wh):
+        """Resolve (and cache) a coarse delta-chain plan for `bank` at
+        this frame size: (ChainPlan of device arrays, ChainDesc), or
+        None when the planner declines (sparse bank, unsupported
+        packing). Host-side planning runs ONCE per (bank, size)."""
+        plans = getattr(self, "_chain_plans", None)
+        if plans is None:   # unpickled / pre-upgrade instance
+            plans = self._chain_plans = {}
+        key = (id(bank), tuple(size_wh))
+        if key not in plans:
+            from ..ops.pallas.chain_plan import ChainPlan, plan_chain
+
+            res = plan_chain(bank, self.T_at_level[-1], size_wh,
+                             self.num_orientations)
+            if res is not None:
+                plan, desc = res
+                res = (ChainPlan(meta=jnp.asarray(plan.meta),
+                                 emit=jnp.asarray(plan.emit)), desc)
+            plans[key] = res
+        return plans[key]
 
     def _is_pathological(self, bank, size_wh, T) -> bool:
         """Whether any template is wider than image - 16T. Uses the
@@ -817,9 +848,15 @@ class Detector:
         bank_last = banks[-1]
         K = int(bank_last.fx.shape[0])
 
+        use_pallas = (self.use_pallas if self.use_pallas is not None
+                      else use_pallas_default())
+        chain = (self._get_chain(bank_last, size_last)
+                 if use_pallas else None)
+        chain_plan, chain_desc = chain if chain is not None else (None,
+                                                                  None)
         cells, positions, M = coarse_cells_dispatch(
             lm_last, lmflat_last, bank_last, t_last, size_last,
-            self.use_pallas)
+            use_pallas, chain=chain_plan, chain_desc=chain_desc)
         nfeat_for_extract = bank_last.nfeat
         total = K * M
 
@@ -942,12 +979,17 @@ class Detector:
             h //= 2
             w //= 2
 
+    def _drop_bank_caches(self, bank) -> None:
+        self._bank_maxdims.pop(id(bank), None)
+        for key in [k for k in self._chain_plans if k[0] == id(bank)]:
+            del self._chain_plans[key]
+
     def _invalidate_banks(self, class_id: str) -> None:
         for b in self._banks.pop(class_id, None) or []:
-            self._bank_maxdims.pop(id(b), None)
+            self._drop_bank_caches(b)
         for key in [k for k in self._merged_banks if class_id in k]:
             for b in self._merged_banks.pop(key)[0]:
-                self._bank_maxdims.pop(id(b), None)
+                self._drop_bank_caches(b)
 
     def _get_merged_banks(self, class_ids: tuple):
         """One LevelBank spanning several classes. matchClass is
@@ -996,7 +1038,7 @@ class Detector:
         while len(self._merged_banks) >= 8:
             old = next(iter(self._merged_banks))
             for b in self._merged_banks.pop(old)[0]:
-                self._bank_maxdims.pop(id(b), None)
+                self._drop_bank_caches(b)
         self._merged_banks[order] = cached
         return self._remap_merged(cached, order, class_ids)
 
@@ -1059,6 +1101,7 @@ class Detector:
         self._banks.clear()
         self._merged_banks.clear()
         self._bank_maxdims.clear()
+        self._chain_plans.clear()
 
     def save_settings(self, path: str, templates_dir: str | None = None,
                       classes=None) -> None:

@@ -1,0 +1,197 @@
+"""Delta-encoded ("chain") coarse scoring for dense template banks.
+
+Dense rotation/scale sweeps — the banks the reference's own
+addTemplate_rotate enumeration produces (line2Dup.cpp:1409-1451) — make
+ADJACENT templates share most of their coarse-level (plane, shift)
+feature slots: measured on a 63-feature rotation bank at the coarse
+level (T=8), the adds+subs delta between neighbors is ~10% of a full
+template at 0.036 deg steps (K=10000) and ~80% at 0.36 deg (K=1000).
+
+Every feature's score contribution is a pure tile function of its slot
+quadruple (idx, b, a, m), and packed-lane integer sums are exact and
+order-independent (the final per-byte/per-u16 values are bounded by
+max_response * nfeat; intermediate word carries/borrows cancel exactly
+under two's-complement arithmetic). So template k's score tile can be
+computed from template k-1's as
+
+    tile_k = tile_{k-1} + sum(added slots) - sum(removed slots)
+
+BIT-EXACTLY equal to scoring k from scratch. The planner below packs
+templates into grid programs as chains of fixed-size sub-steps (S slots
+each): the first template of a chain is a base (accumulator reset + all
+its features, sign +1), subsequent templates are deltas; a delta
+costing >= nfeat breaks the chain (rebase). Planning is host-side numpy
+on concrete bank arrays, cached per (bank, frame size) by the Detector.
+
+This has no reference counterpart (line2Dup.cpp:1166-1196 scores every
+template independently under OpenMP) — it is TPU-first exploitation of
+the enumerated-template structure: the serial chain lives INSIDE one
+grid program where it costs nothing, and the planner keeps the win
+data-driven (dense banks engage, sparse banks keep the plain kernel).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+from typing import NamedTuple
+
+import numpy as np
+
+CHAIN_S = 4        # feature slots per sub-step
+CHAIN_U = 64       # sub-steps per grid program
+# engage only when chain slot-cost (incl. padding) is below this
+# fraction of the plain kernel's per-feature cost
+CHAIN_MAX_RATIO = 0.6
+_MIN_K = 256       # don't bother planning tiny banks
+
+
+class ChainDesc(NamedTuple):
+    """Static (hashable) half of a chain plan."""
+    unit: int       # LM cells per i32 lane (4 = u8 cells, 2 = u16)
+    rows: int       # word rows of a packed plane tile
+    m_pad: int      # padded cell count per plane
+    n_programs: int
+    n_ori: int
+
+
+class ChainPlan(NamedTuple):
+    """Device half (a jit-traceable pytree)."""
+    meta: object    # i32 [P, 6, CHAIN_U, CHAIN_S]
+    emit: object    # i32 [K] row index into the flattened [P*U] outputs
+
+
+def chain_enabled() -> bool:
+    return os.environ.get("SBM_NO_CHAIN", "") != "1"
+
+
+def plan_chain(bank, T: int, size_wh, n_ori: int,
+               max_ratio: float = CHAIN_MAX_RATIO):
+    """Try to build a chain plan for `bank` at the coarse level.
+
+    Returns (ChainPlan of numpy arrays, ChainDesc) or None when the
+    bank/config doesn't profit (sparse bank, unsupported packing, VMEM).
+    The caller converts plan arrays to device arrays and caches.
+    """
+    if not chain_enabled():
+        return None
+    w_img, h_img = int(size_wh[0]), int(size_wh[1])
+    W, H = w_img // T, h_img // T
+    M = W * H
+    C = n_ori * T * T
+
+    fx = np.asarray(bank.fx)
+    K, N_slots = fx.shape
+    if K < _MIN_K:
+        return None
+    max_resp = 4
+    if N_slots * max_resp <= 255:
+        unit = 4
+    elif N_slots * max_resp <= 65535:
+        unit = 2
+    else:
+        return None
+    M_pad = -(-(M + max(W, 1)) // 4096) * 4096
+    if 4 * (C + 1) * M_pad > 36 * 2**20:   # preshifted copies VMEM gate
+        return None
+    rows = M_pad // (128 * unit)
+
+    fy = np.asarray(bank.fy)
+    lab = np.asarray(bank.label)
+    val = np.asarray(bank.valid)
+    inb = val & (fx >= 0) & (fx < w_img) & (fy >= 0) & (fy < h_img)
+    plane = np.where(inb, lab * (T * T) + (fy % T) * T + (fx % T), C)
+    s = np.where(inb, (fy // T) * W + fx // T, 0)
+    nf = np.where(val.any(axis=1), np.asarray(bank.nfeat), 0).astype(int)
+
+    zp = (unit - 1) * (C + 1) + C
+    PAD = (zp, 0, 0, 128, 1)
+
+    def slot(p, sh, sgn):
+        sw = sh // unit
+        r = sh % unit
+        return (r * (C + 1) + p, (rows - sw // 128) % rows,
+                (128 - sw % 128) % 128, 128 - sw % 128, sgn)
+
+    def feats(k):
+        n = int(nf[k])
+        return Counter(zip(plane[k, :n].tolist(), s[k, :n].tolist()))
+
+    S, U_max = CHAIN_S, CHAIN_U
+    programs = []
+    emit = np.zeros(K, np.int64)
+    cur: list = []
+    prev = None
+    live_slots = 0
+
+    def flush():
+        nonlocal cur, prev
+        if cur:
+            programs.append(cur)
+        cur = []
+        prev = None
+
+    for k in range(K):
+        fk = feats(k)
+        if prev is not None:
+            adds = fk - prev
+            subs = prev - fk
+            use_delta = (sum(adds.values()) + sum(subs.values())
+                         < sum(fk.values()))
+        else:
+            use_delta = False
+        if use_delta:
+            slots = ([slot(p, sh, 1) for (p, sh), c in adds.items()
+                      for _ in range(c)]
+                     + [slot(p, sh, -1) for (p, sh), c in subs.items()
+                        for _ in range(c)])
+            keep0 = 1
+        else:
+            slots = [slot(p, sh, 1) for (p, sh), c in fk.items()
+                     for _ in range(c)]
+            keep0 = 0
+        if not slots and prev is not None:
+            emit[k] = emit[k - 1]          # zero-delta template: free
+            prev = fk
+            continue
+        need = max(1, -(-len(slots) // S))
+        if len(cur) + need > U_max:
+            flush()
+            slots = [slot(p, sh, 1) for (p, sh), c in fk.items()
+                     for _ in range(c)]
+            keep0 = 0
+            need = max(1, -(-len(slots) // S))
+        live_slots += len(slots)
+        slots = slots + [PAD] * (need * S - len(slots))
+        for u in range(need):
+            cur.append((keep0 if u == 0 else 1, slots[u * S:(u + 1) * S]))
+        emit[k] = len(programs) * U_max + len(cur) - 1
+        prev = fk
+    flush()
+
+    P = len(programs)
+    # cost model: chain pays every padded sub-step slot; plain pays the
+    # live feature slots (its unroll padding roughly cancels against the
+    # chain's per-sub-step bookkeeping)
+    chain_cost = sum(len(prog) for prog in programs) * S
+    plain_cost = int(nf.sum())
+    if plain_cost == 0 or chain_cost > max_ratio * plain_cost:
+        return None
+
+    meta = np.zeros((P, 6, U_max, S), np.int32)
+    meta[:, 0] = zp
+    meta[:, 3] = 128
+    meta[:, 4] = 1
+    meta[:, 5, :, 0] = 1     # trailing no-op sub-steps keep the acc
+    for p, prog in enumerate(programs):
+        for u, (keep, slots) in enumerate(prog):
+            meta[p, 5, u, 0] = keep
+            for sl, (i_, b_, a_, m_, g_) in enumerate(slots):
+                meta[p, 0, u, sl] = i_
+                meta[p, 1, u, sl] = b_
+                meta[p, 2, u, sl] = a_
+                meta[p, 3, u, sl] = m_
+                meta[p, 4, u, sl] = g_
+    return (ChainPlan(meta=meta, emit=emit.astype(np.int32)),
+            ChainDesc(unit=unit, rows=rows, m_pad=M_pad, n_programs=P,
+                      n_ori=n_ori))

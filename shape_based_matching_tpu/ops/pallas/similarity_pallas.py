@@ -122,12 +122,16 @@ def _make_rotate_kernel(unroll: int, widen: bool = False,
             def body(i, acc, one=one):
                 # pairwise tree keeps the add dependency chain at
                 # log2(unroll) instead of unroll (integer adds: bit-exact
-                # either way)
+                # either way); _unroll_for can return non-powers-of-2
+                # (e.g. 6 at rows=40), so odd levels carry their tail
                 base = i * unroll
                 vals = [one(base + u) for u in range(unroll)]
                 while len(vals) > 1:
-                    vals = [vals[v] + vals[v + 1]
-                            for v in range(0, len(vals), 2)]
+                    nxt = [vals[v] + vals[v + 1]
+                           for v in range(0, len(vals) - 1, 2)]
+                    if len(vals) % 2:
+                        nxt.append(vals[-1])
+                    vals = nxt
                 return acc + vals[0]
 
             acc = jax.lax.fori_loop(
@@ -139,6 +143,41 @@ def _make_rotate_kernel(unroll: int, widen: bool = False,
 
 
 _COARSE_GROUP = 2  # templates per grid program (see _make_rotate_kernel)
+
+
+def _extend_lm_planes(lm, M: int, M_pad: int, C: int):
+    """[C, ., M] linear memories -> flat [C+1, M_pad] u8: each plane's
+    pad carries the CONTINUATION bytes of the flat layout (head of the
+    next plane — the exact bytes the reference's contiguous Mat holds
+    there, see module docstring) and plane C is the all-zero plane for
+    invalid/out-of-bounds features."""
+    P = M_pad - M
+    lm2 = lm.reshape(C, M)
+    reps = -(-P // M)
+    ext = jnp.concatenate([lm2, jnp.zeros((reps, M), jnp.uint8)], axis=0)
+    cont = jnp.concatenate(
+        [ext[i + 1:i + 1 + C] for i in range(reps)], axis=1)[:, :P]
+    lm2 = jnp.concatenate([lm2, cont], axis=1)
+    return jnp.concatenate([lm2, jnp.zeros((1, M_pad), jnp.uint8)], axis=0)
+
+
+def _pack_copies(flat, C: int, unit: int, rows_w: int):
+    """Byte-preshifted packed copies of the flat [C+1, M_pad] planes:
+    copy r's words hold cells unit*w+r .. unit*w+r+unit-1, so a feature
+    with cell shift s reads copy s%unit at word shift s//unit. unit=4
+    packs u8 cells, unit=2 u16 cells; output [unit*(C+1), rows_w, 128]
+    i32 word rows."""
+    M_pad = flat.shape[1]
+    flatp = jnp.concatenate(
+        [flat, jnp.zeros((C + 1, unit), jnp.uint8)], axis=1)
+    copies = jnp.stack([flatp[:, r:r + M_pad] for r in range(unit)])
+    if unit == 4:
+        return jax.lax.bitcast_convert_type(
+            copies.reshape(4, C + 1, rows_w * 128, 4), jnp.int32
+        ).reshape(4 * (C + 1), rows_w, 128)
+    c32 = copies.astype(jnp.int32)
+    return (c32[..., 0::2] | (c32[..., 1::2] << 16)).reshape(
+        2 * (C + 1), rows_w, 128)
 
 
 def _run_rotate_kernel(meta, lm_in, rows, kern_args, interpret,
@@ -301,13 +340,7 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
         # halving the issue-bound kernel's per-feature op count
         use4 = 4 * (C + 1) * M_pad <= 36 * 2**20
         if use4:
-            flatp = lm3.reshape(C + 1, M_pad)
-            flatp = jnp.concatenate(
-                [flatp, jnp.zeros((C + 1, 4), jnp.uint8)], axis=1)
-            copies = jnp.stack([flatp[:, r:r + M_pad] for r in range(4)])
-            lm4 = jax.lax.bitcast_convert_type(
-                copies.reshape(4, C + 1, rows_w * 128, 4), jnp.int32
-            ).reshape(4 * (C + 1), rows_w, 128)
+            lm4 = _pack_copies(lm3.reshape(C + 1, M_pad), C, 4, rows_w)
             unroll = _unroll_for(rows_w)
             meta = _build_meta(plane, shift, nf, unit=4, copies=4, C=C,
                                rows=rows_w, unroll=unroll)
@@ -332,13 +365,7 @@ def _coarse_similarity_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
             K, M_pad)[:, :M].astype(jnp.int32)
     elif packed2 and 4 * (C + 1) * M_pad <= 36 * 2**20:
         rows_w2 = M_pad // 256
-        flatp = lm3.reshape(C + 1, M_pad)
-        flatp = jnp.concatenate(
-            [flatp, jnp.zeros((C + 1, 2), jnp.uint8)], axis=1)
-        copies = jnp.stack(
-            [flatp[:, r:r + M_pad] for r in range(2)]).astype(jnp.int32)
-        lmw = (copies[..., 0::2] | (copies[..., 1::2] << 16)).reshape(
-            2 * (C + 1), rows_w2, 128)
+        lmw = _pack_copies(lm3.reshape(C + 1, M_pad), C, 2, rows_w2)
         unroll = _unroll_for(rows_w2)
         meta = _build_meta(plane, shift, nf, unit=2, copies=2, C=C,
                            rows=rows_w2, unroll=unroll)
@@ -375,3 +402,98 @@ def _positions(bank: LevelBank, T: int, W: int, H: int) -> jnp.ndarray:
     wf = (bank.width - 1) // T + 1
     hf = (bank.height - 1) // T + 1
     return (H - hf) * W + (W - wf) + 1
+
+
+# ---------------------------------------------------------------------------
+# Delta-encoded chain scoring (dense banks) — see ops/pallas/chain_plan.py
+# ---------------------------------------------------------------------------
+
+
+def _make_chain_kernel(U: int, S: int):
+    """Chained rotate-accumulate: U python-unrolled sub-steps of S slot
+    bodies each. Per sub-step: tree-sum the S signed contributions,
+    accumulate into (or reset, keep=0) the running tile, store the tile
+    to this sub-step's output row. Signed contributions are word-level
+    negations — exact for packed byte/u16 lanes because integer tile
+    sums are order-independent and the FINAL per-lane values are the
+    same bounded responses the plain kernel produces."""
+
+    def kernel(meta_ref, lm_ref, out_ref):
+        rows = lm_ref.shape[1]
+        lanes = lm_ref.shape[2]
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+        acc = jnp.zeros((rows, lanes), jnp.int32)
+        for u in range(U):
+            keep = meta_ref[0, 5, u, 0]
+            vals = []
+            for sl in range(S):
+                idx = meta_ref[0, 0, u, sl]
+                b = meta_ref[0, 1, u, sl]
+                a = meta_ref[0, 2, u, sl]
+                m = meta_ref[0, 3, u, sl]
+                sg = meta_ref[0, 4, u, sl]
+                p = lm_ref[idx]
+                x = pltpu.roll(p, b, axis=0)
+                l = pltpu.roll(x, a, axis=1)
+                l1 = pltpu.roll(l, rows - 1, axis=0)
+                vals.append(jnp.where(col < m, l, l1) * sg)
+            while len(vals) > 1:
+                nxt = [vals[v] + vals[v + 1]
+                       for v in range(0, len(vals) - 1, 2)]
+                if len(vals) % 2:
+                    nxt.append(vals[-1])
+                vals = nxt
+            acc = acc * keep + vals[0]
+            out_ref[0, u] = acc
+
+    return kernel
+
+
+def chain_coarse_cells(lm: jnp.ndarray, bank: LevelBank, plan, desc,
+                       T: int, size_wh, interpret: bool | None = None):
+    """Chain-scored raw cells (the coarse_cells_dispatch fast path for
+    dense banks): returns (cells [K, m_pad] u8/u16 native dtype,
+    positions) — bit-identical to coarse_similarity_pallas(...,
+    raw_cells=True) for the same bank."""
+    return _chain_coarse_cells(lm, bank, plan, T, size_wh, desc,
+                               _resolve_interpret(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("T", "size_wh", "desc",
+                                             "interpret"))
+def _chain_coarse_cells(lm, bank, plan, T: int, size_wh, desc,
+                        interpret: bool):
+    from .chain_plan import CHAIN_S, CHAIN_U
+
+    w_img, h_img = size_wh
+    W, H = w_img // T, h_img // T
+    M = W * H
+    C = desc.n_ori * T * T
+    flat = _extend_lm_planes(lm, M, desc.m_pad, C)
+    lmp = _pack_copies(flat, C, desc.unit, desc.rows)
+    P = desc.n_programs
+    out = pl.pallas_call(
+        _make_chain_kernel(CHAIN_U, CHAIN_S),
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((1, 6, CHAIN_U, CHAIN_S),
+                         lambda k: (k, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(lmp.shape, lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, CHAIN_U, desc.rows, 128),
+                               lambda k: (k, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, CHAIN_U, desc.rows, 128),
+                                       jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(plan.meta, lmp)
+    rows_k = out.reshape(P * CHAIN_U, desc.rows, 128)[plan.emit]
+    K = plan.emit.shape[0]
+    cell_dtype = jnp.uint8 if desc.unit == 4 else jnp.uint16
+    cells = jax.lax.bitcast_convert_type(rows_k, cell_dtype).reshape(
+        K, desc.m_pad)
+    return cells, _positions(bank, T, W, H)

@@ -214,7 +214,8 @@ def _rmin_for_threshold(nfeat: jnp.ndarray, threshold):
 
 def coarse_cells_dispatch(lm: jnp.ndarray, lmflat: jnp.ndarray,
                           bank: LevelBank, T: int, size_wh,
-                          use_pallas: bool | None = None):
+                          use_pallas: bool | None = None,
+                          chain=None, chain_desc=None):
     """Coarse scores WITHOUT the [K, M] i32 materialization.
 
     Returns (cells, positions, M): `cells` is [K, Mp >= M] in the
@@ -223,12 +224,22 @@ def coarse_cells_dispatch(lm: jnp.ndarray, lmflat: jnp.ndarray,
     `positions` are garbage; extract_candidates_cells excludes them).
     Feed to extract_candidates_cells; the [K, M] map never round-trips
     HBM at 4 bytes/cell (~327 MB at K=10k on a 1024^2 frame).
+
+    `chain`/`chain_desc`: an optional delta-chain plan for dense banks
+    (Detector._get_chain / ops.pallas.chain_plan) — bit-identical
+    output, ~5x less kernel work on dense rotation sweeps.
     """
     w_img, h_img = size_wh
     M = (w_img // T) * (h_img // T)
     if use_pallas is None:
         use_pallas = use_pallas_default()
     if use_pallas:
+        if chain is not None:
+            from .pallas.similarity_pallas import chain_coarse_cells
+
+            cells, positions = chain_coarse_cells(
+                lm, bank, chain, chain_desc, T, size_wh)
+            return cells, positions, M
         from .pallas.similarity_pallas import coarse_similarity_pallas
 
         cells, positions = coarse_similarity_pallas(

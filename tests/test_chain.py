@@ -1,0 +1,142 @@
+"""Delta-chain coarse scoring (ops/pallas/chain_plan.py).
+
+Dense template banks score the coarse level as base + signed deltas
+between adjacent templates — must be bit-identical to the plain path.
+Kernel runs through the Pallas interpreter on CPU (SBM_PALLAS_INTERPRET
+is set process-wide by conftest for these tests via env marker below).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from shape_based_matching_tpu.ops.pallas.chain_plan import plan_chain
+from shape_based_matching_tpu.utils.synthetic import (build_rotated_detector,
+                                                      synthetic_scene)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("SBM_PALLAS_INTERPRET", "1")
+
+
+@pytest.fixture(scope="module")
+def dense_detector():
+    # 0.24 deg steps on a small shape: adjacent coarse-level templates
+    # share most (plane, shift) slots -> the planner engages
+    det, templ = build_rotated_detector(num_templates=1500,
+                                        num_features=63, size=96)
+    return det, templ
+
+
+def test_planner_engages_on_dense_bank(dense_detector):
+    det, _ = dense_detector
+    bank = det._get_banks("bench")[-1]
+    res = plan_chain(bank, det.T_at_level[-1], (256, 256),
+                     det.num_orientations)
+    assert res is not None, "planner declined a dense 0.24-deg bank"
+    plan, desc = res
+    assert desc.unit == 4  # 63 features x resp 4 <= 255 -> u8 cells
+    K = plan.emit.shape[0]
+    assert K == 1500
+    # chain must actually be cheaper than plain scoring
+    live = int((plan.meta[:, 0] != (3 * (desc.n_ori * 64 + 1)
+                                    + desc.n_ori * 64)).sum())
+    assert live < 0.6 * int(np.asarray(bank.nfeat).sum())
+
+
+def test_planner_declines_sparse_bank():
+    # 6-deg steps: deltas cost more than full templates
+    det, _ = build_rotated_detector(num_templates=360, num_features=63,
+                                    size=96)
+    bank = det._get_banks("bench")[-1]
+    assert plan_chain(bank, det.T_at_level[-1], (256, 256),
+                      det.num_orientations) is None
+
+
+def test_planner_respects_disable_env(dense_detector, monkeypatch):
+    det, _ = dense_detector
+    bank = det._get_banks("bench")[-1]
+    monkeypatch.setenv("SBM_NO_CHAIN", "1")
+    assert plan_chain(bank, det.T_at_level[-1], (256, 256),
+                      det.num_orientations) is None
+
+
+def test_chain_match_exact_vs_xla(dense_detector):
+    """Full match with the chain engaged == XLA fallback, exactly."""
+    det, templ = dense_detector
+    scene = synthetic_scene(256, 256, templ, n_instances=2, seed=11)
+
+    det._chain_plans.clear()
+    det.use_pallas = True
+    m_chain = det.match(scene, 80.0)
+    engaged = [v for v in det._chain_plans.values() if v is not None]
+    assert engaged, "chain plan did not engage on the dense bank"
+
+    det.use_pallas = False
+    m_xla = det.match(scene, 80.0)
+    det.use_pallas = None
+
+    key = lambda m: (m.template_id, m.x, m.y, m.similarity)
+    assert sorted(map(key, m_chain)) == sorted(map(key, m_xla))
+    assert m_chain  # the scene contains instances; must find them
+
+
+def test_zero_delta_templates_share_emit_rows(dense_detector):
+    """Duplicate adjacent templates cost nothing: same emit row."""
+    det, _ = dense_detector
+    bank = det._get_banks("bench")[-1]
+    # duplicate every template's arrays pairwise -> zero deltas
+    import shape_based_matching_tpu.ops.similarity as sim
+    dup = sim.LevelBank(
+        fx=jnp.repeat(bank.fx, 2, axis=0),
+        fy=jnp.repeat(bank.fy, 2, axis=0),
+        label=jnp.repeat(bank.label, 2, axis=0),
+        valid=jnp.repeat(bank.valid, 2, axis=0),
+        nfeat=jnp.repeat(bank.nfeat, 2, axis=0),
+        width=jnp.repeat(bank.width, 2, axis=0),
+        height=jnp.repeat(bank.height, 2, axis=0),
+    )
+    res = plan_chain(dup, det.T_at_level[-1], (256, 256),
+                     det.num_orientations)
+    assert res is not None
+    plan, _ = res
+    emit = np.asarray(plan.emit)
+    assert (emit[1::2] == emit[0::2]).all()
+
+
+def test_nonpow2_unroll_tree_regression():
+    """rows_w=40 makes _unroll_for return 6 (non-power-of-2); the
+    pairwise tree must carry odd tails instead of indexing past the
+    list (latent until a 16384-cell coarse plane occurred: any
+    1024x1024 frame scored at T=8 as the LAST level)."""
+    from shape_based_matching_tpu.ops.pallas.similarity_pallas import (
+        _unroll_for, coarse_similarity_pallas)
+    from shape_based_matching_tpu.ops.response import build_linear_memories
+    from shape_based_matching_tpu.ops.similarity import (coarse_similarity,
+                                                         pack_level_bank)
+
+    assert _unroll_for(40) == 6
+
+    rng = np.random.RandomState(0)
+    qimg = (1 << rng.randint(0, 8, size=(1024, 1024))).astype(np.uint8)
+    lm = build_linear_memories(jnp.asarray(qimg), 8)
+    templates = [{
+        "features": [(int(x), int(y), int(l))
+                     for x, y, l in zip(rng.randint(0, 64, 20),
+                                        rng.randint(0, 64, 20),
+                                        rng.randint(0, 8, 20))],
+        "width": 64, "height": 64,
+    } for _ in range(3)]
+    bank = pack_level_bank(templates)
+    S_pal, pos_p = coarse_similarity_pallas(lm, bank, 8, (1024, 1024))
+    m = lm.shape[-1]
+    lmflat = jnp.concatenate(
+        [lm.reshape(-1), jnp.zeros((m,), jnp.uint8)])
+    S_xla, pos_x = coarse_similarity(lmflat, bank, 8, (1024, 1024))
+    assert jnp.array_equal(pos_p, pos_x)
+    assert jnp.array_equal(S_pal, S_xla)
