@@ -109,6 +109,45 @@ def test_zero_delta_templates_share_emit_rows(dense_detector):
     assert (emit[1::2] == emit[0::2]).all()
 
 
+def test_chain_packed2_wide_bank_cells_exact():
+    """>63-feature banks use u16 cells (unit=2): chain cells must equal
+    the production packed2 raw cells bit-for-bit."""
+    from shape_based_matching_tpu.ops.pallas.chain_plan import ChainPlan
+    from shape_based_matching_tpu.ops.pallas.similarity_pallas import (
+        chain_coarse_cells, coarse_similarity_pallas)
+    from shape_based_matching_tpu.ops.response import build_linear_memories
+    from shape_based_matching_tpu.ops.gradients import (
+        quantized_orientations_gray)
+    from shape_based_matching_tpu.ops.filters import pyr_down_u8
+
+    # 1-level pyramid so the coarse level keeps all 128 features
+    # (2-level banks halve to <=63 at L1 and fall back to u8 packing)
+    det, templ = build_rotated_detector(num_templates=2400,
+                                        num_features=128, size=160,
+                                        T=(4,))
+    bank = det._get_banks("bench")[-1]
+    T = det.T_at_level[-1]
+    scene = synthetic_scene(320, 320, templ, n_instances=2, seed=3)
+    size_wh = (320, 320)   # 1-level: the frame IS the coarse level
+    res = plan_chain(bank, T, size_wh, det.num_orientations)
+    assert res is not None, "planner declined the dense wide bank"
+    plan, desc = res
+    assert desc.unit == 2  # 70 features x resp 4 > 255 -> u16 cells
+    plan = ChainPlan(meta=jnp.asarray(plan.meta),
+                     emit=jnp.asarray(plan.emit))
+
+    g = quantized_orientations_gray(jnp.asarray(scene),
+                                    jnp.float32(30.0))
+    lm = build_linear_memories(g.angle, T)
+    cells_chain, pos_c = chain_coarse_cells(lm, bank, plan, desc, T,
+                                            size_wh)
+    cells_prod, pos_p = coarse_similarity_pallas(
+        lm, bank, T, size_wh, mask_positions=False, raw_cells=True)
+    assert cells_chain.dtype == cells_prod.dtype == jnp.uint16
+    assert jnp.array_equal(pos_c, pos_p)
+    assert jnp.array_equal(cells_chain, cells_prod)
+
+
 def test_nonpow2_unroll_tree_regression():
     """rows_w=40 makes _unroll_for return 6 (non-power-of-2); the
     pairwise tree must carry odd tails instead of indexing past the
