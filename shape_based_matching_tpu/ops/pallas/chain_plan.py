@@ -195,3 +195,56 @@ def plan_chain(bank, T: int, size_wh, n_ori: int,
     return (ChainPlan(meta=meta, emit=emit.astype(np.int32)),
             ChainDesc(unit=unit, rows=rows, m_pad=M_pad, n_programs=P,
                       n_ori=n_ori))
+
+
+def plan_chain_sharded(bank, n_shards: int, T: int, size_wh, n_ori: int,
+                       max_ratio: float = CHAIN_MAX_RATIO):
+    """Chain plans for a templ-sharded bank: plan each K/n_shards slice
+    independently (chains never cross shard boundaries — grid programs
+    don't either), pad every shard's program count to the max, and
+    stack so a shard_map P('templ') in_spec hands each device its own
+    slice. Returns (meta [n_shards*P_max, 6, U, S], emit
+    [n_shards*K_loc], ChainDesc with n_programs=P_max) or None when ANY
+    shard declines (all-or-nothing: the kernel choice is static)."""
+    K = int(np.asarray(bank.fx).shape[0])
+    if K % n_shards:
+        return None
+    K_loc = K // n_shards
+
+    def slice_bank(s):
+        lo, hi = s * K_loc, (s + 1) * K_loc
+        return type(bank)(*(np.asarray(f)[lo:hi] for f in bank))
+
+    shard_plans = []
+    desc0 = None
+    for s in range(n_shards):
+        res = plan_chain(slice_bank(s), T, size_wh, n_ori,
+                         max_ratio=max_ratio)
+        if res is None:
+            return None
+        plan, desc = res
+        if desc0 is None:
+            desc0 = desc
+        elif desc[:3] != desc0[:3]:   # unit/rows/m_pad must agree
+            return None
+        shard_plans.append(plan)
+    P_max = max(p.meta.shape[0] for p in shard_plans)
+    metas, emits = [], []
+    for plan in shard_plans:
+        meta = plan.meta
+        if meta.shape[0] < P_max:
+            padp = np.zeros((P_max - meta.shape[0],) + meta.shape[1:],
+                            meta.dtype)
+            zp = ((desc0.unit - 1) * (desc0.n_ori * T * T + 1)
+                  + desc0.n_ori * T * T)
+            padp[:, 0] = zp
+            padp[:, 3] = 128
+            padp[:, 4] = 1
+            padp[:, 5, :, 0] = 1
+            meta = np.concatenate([meta, padp])
+        metas.append(meta)
+        emits.append(plan.emit)
+    return (np.concatenate(metas), np.concatenate(emits),
+            ChainDesc(unit=desc0.unit, rows=desc0.rows,
+                      m_pad=desc0.m_pad, n_programs=P_max,
+                      n_ori=desc0.n_ori))

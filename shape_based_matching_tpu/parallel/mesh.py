@@ -76,11 +76,16 @@ def shard_pad_bank(bank: LevelBank, n_shards: int) -> LevelBank:
 
 
 def _local_match(images, banks, T_levels, sizes, weak_threshold, threshold,
-                 cand_cap, distinct_cap, gray, n_ori):
+                 cand_cap, distinct_cap, gray, n_ori,
+                 chain_plan=None, chain_desc=None, use_pallas=None):
     """Full single-shard match on a batch of local frames with a local bank
     slice: pyramid -> coarse scores -> candidates -> per-level refinement.
     Returns packed candidate arrays [B_loc, cand_cap] with LOCAL template
-    ids, plus overflow counters (n_above, n_distinct per image)."""
+    ids, plus overflow counters (n_above, n_distinct per image).
+
+    `chain_plan`/`chain_desc`: this shard's slice of a delta-chain plan
+    (plan_chain_sharded) — bit-identical coarse cells, ~5x less kernel
+    work on dense rotation sweeps."""
     levels = len(T_levels)
     K_loc = banks[-1].fx.shape[0]
     t_last = T_levels[-1]
@@ -89,13 +94,15 @@ def _local_match(images, banks, T_levels, sizes, weak_threshold, threshold,
     # Same kernel dispatch as the single-chip Detector: Pallas on TPU
     # shards (fused frontend + window refinement), XLA elsewhere (the
     # virtual-CPU test mesh). Results are bit-identical either way.
-    use_pallas = use_pallas_default()
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
 
     def one_image(img):
-        from ..ops.pallas.frontend_pallas import frontend_supported
+        from ..ops.pallas.frontend_pallas import (frontend_supported,
+                                                  quant_spread_pallas)
         from ..ops.pallas.refine_pallas import (refine_windows_pallas,
                                                 window_refine_supported)
-        from ..ops.response import build_linear_memories_fused
+        from ..ops.response import build_lm_from_spread
 
         lms = []
         src = img
@@ -104,8 +111,12 @@ def _local_match(images, banks, T_levels, sizes, weak_threshold, threshold,
                 src = pyr_down_u8(src)
             if use_pallas and frontend_supported(src.shape, gray, n_ori,
                                                  False, False):
-                lm = build_linear_memories_fused(src, weak_threshold,
-                                                 T_levels[l], n_ori)
+                # the shim resolves interpret from the env (CPU CI runs
+                # the TPU dispatch graph through the interpreter)
+                sp = quant_spread_pallas(src,
+                                         jnp.float32(weak_threshold) ** 2,
+                                         T_levels[l], n_ori=n_ori)
+                lm = build_lm_from_spread(sp, T_levels[l], n_ori)
             else:
                 if gray:
                     g = quantized_orientations_gray(src, weak_threshold,
@@ -120,7 +131,8 @@ def _local_match(images, banks, T_levels, sizes, weak_threshold, threshold,
             lms.append((lm, lmflat))
 
         cells, positions, M = coarse_cells_dispatch(
-            lms[-1][0], lms[-1][1], banks[-1], t_last, sizes[-1])
+            lms[-1][0], lms[-1][1], banks[-1], t_last, sizes[-1],
+            use_pallas=use_pallas, chain=chain_plan, chain_desc=chain_desc)
         k, x, y, sc, valid, n_above = extract_candidates_cells(
             cells, positions, banks[-1].nfeat, threshold, t_last, w_last,
             cand_cap, M)
@@ -139,7 +151,7 @@ def _local_match(images, banks, T_levels, sizes, weak_threshold, threshold,
             sub = gather_bank(banks[l], slots)
             Sfull, _ = coarse_similarity_dispatch(
                 lms[l][0], lms[l][1], sub, T_levels[l], sizes[l],
-                mask_positions=False)
+                use_pallas=use_pallas, mask_positions=False)
             k, x, y, sc, valid = refine_from_maps(
                 Sfull, slot_of_k, banks[l], T_levels[l], sizes[l],
                 k, x, y, valid, threshold)
@@ -151,7 +163,8 @@ def _local_match(images, banks, T_levels, sizes, weak_threshold, threshold,
 def multichip_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
                          cand_cap: int = 256, distinct_cap: int = 64,
                          gray: bool = True, n_ori: int = 8,
-                         return_scores: bool = False):
+                         return_scores: bool = False,
+                         chain_desc=None, use_pallas: bool | None = None):
     """Jitted FULL match pipeline over the mesh.
 
     step(images [B, H, W{,3}] u8, weak_threshold f32, threshold f32,
@@ -167,6 +180,12 @@ def multichip_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
     With return_scores=True also returns the coarse score map S
     [B, K_total, M_last] all-gathered over 'templ' — used by the
     sharding-equivalence tests to check element-wise score parity.
+
+    `chain_desc`: static half of a plan_chain_sharded result. When set,
+    the step takes TWO extra trailing operands — chain_meta
+    [n_templ*P_max, 6, U, S] and chain_emit [n_templ*K_loc], both
+    sharded P('templ') — and each shard scores its bank slice through
+    the delta-chain kernel (bit-identical, dense banks only).
     """
     h, w = size_hw
     levels = len(T_levels)
@@ -175,14 +194,24 @@ def multichip_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
         sizes.append((w >> l, h >> l))
     t_last = T_levels[-1]
 
-    def per_shard(images, weak_threshold, threshold, *bank_fields):
+    def per_shard(images, weak_threshold, threshold, *fields):
+        if chain_desc is not None:
+            from ..ops.pallas.chain_plan import ChainPlan
+
+            bank_fields = fields[:-2]
+            chain_plan = ChainPlan(meta=fields[-2], emit=fields[-1])
+        else:
+            bank_fields = fields
+            chain_plan = None
         banks = []
         for l in range(levels):
             banks.append(LevelBank(*bank_fields[7 * l:7 * (l + 1)]))
         K_loc = banks[-1].fx.shape[0]
         k, x, y, sc, valid, n_above, nd = _local_match(
             images, banks, T_levels, sizes, weak_threshold, threshold,
-            cand_cap, distinct_cap, gray, n_ori)
+            cand_cap, distinct_cap, gray, n_ori,
+            chain_plan=chain_plan, chain_desc=chain_desc,
+            use_pallas=use_pallas)
         # local -> global template ids
         shard = jax.lax.axis_index("templ").astype(jnp.int32)
         k = jnp.where(valid, k + shard * K_loc, 0)
@@ -217,6 +246,8 @@ def multichip_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
 
     img_spec = P("data")
     bank_specs = tuple(P("templ") for _ in range(7 * levels))
+    if chain_desc is not None:
+        bank_specs = bank_specs + (P("templ"), P("templ"))
     out_core = (P("data", None), P("data", None), P("data", None),
                 P("data", None), P("data", None), P("data"), P("data"))
     out_specs = out_core + ((P("data", None, None),) if return_scores
@@ -234,7 +265,8 @@ def multichip_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
 def match_images_sharded(detector, images, threshold: float,
                          mesh: Mesh | None = None,
                          class_id=None,
-                         cand_cap: int = 256, distinct_cap: int = 64):
+                         cand_cap: int = 256, distinct_cap: int = 64,
+                         use_pallas: bool | None = None):
     """Host convenience: run the full sharded match for a batch of frames
     and assemble Match lists exactly like Detector.match (sort + dedup).
 
@@ -283,13 +315,39 @@ def match_images_sharded(detector, images, threshold: float,
                 "overflow — the n_above warning below reports it")
         eff_dist = int(distinct_cap) * len(class_ids)
     per = _match_images_sharded_banks(detector, images, threshold, mesh,
-                                      banks, mapper, eff_cand, eff_dist)
+                                      banks, mapper, eff_cand, eff_dist,
+                                      use_pallas=use_pallas)
     return [_sort_dedup(ms) for ms in per]
+
+
+def _get_chain_sharded(detector, bank_orig, bank_padded, n_shards: int,
+                       size_wh):
+    """Resolve (and cache on the detector) a templ-sharded delta-chain
+    plan for the coarse level: (meta, emit device arrays, ChainDesc) or
+    None. Keyed by the ORIGINAL bank (the padded one is rebuilt per
+    call); the key tuple pins the bank so ids can't be reused."""
+    plans = getattr(detector, "_chain_plans_sharded", None)
+    if plans is None:
+        plans = detector._chain_plans_sharded = {}
+    key = (id(bank_orig), n_shards, tuple(size_wh))
+    hit = plans.get(key)
+    if hit is None:
+        from ..ops.pallas.chain_plan import plan_chain_sharded
+
+        res = plan_chain_sharded(bank_padded, n_shards,
+                                 detector.T_at_level[-1], size_wh,
+                                 detector.num_orientations)
+        if res is not None:
+            meta, emit, desc = res
+            res = (jnp.asarray(meta), jnp.asarray(emit), desc)
+        plans[key] = hit = (bank_orig, res)
+    return hit[1]
 
 
 def _match_images_sharded_banks(detector, images, threshold: float,
                                 mesh: Mesh, banks, mapper,
-                                cand_cap: int, distinct_cap: int):
+                                cand_cap: int, distinct_cap: int,
+                                use_pallas: bool | None = None):
     from ..models.detector import Match
 
     assert images.ndim in (3, 4)
@@ -302,13 +360,26 @@ def _match_images_sharded_banks(detector, images, threshold: float,
                          f"mesh data axis ({n_data}); pad the batch")
     n_templ = mesh.devices.shape[1]
     K = int(banks[-1].fx.shape[0])
+    banks_orig = banks
     banks = [shard_pad_bank(b, n_templ) for b in banks]
+
+    pallas_on = (use_pallas_default() if use_pallas is None
+                 else bool(use_pallas))
+    levels = len(detector.T_at_level)
+    size_last = (w >> (levels - 1), h >> (levels - 1))
+    chain = (_get_chain_sharded(detector, banks_orig[-1], banks[-1],
+                                n_templ, size_last)
+             if pallas_on else None)
 
     step = multichip_match_step(
         mesh, detector.T_at_level, (h, w), cand_cap=cand_cap,
         distinct_cap=distinct_cap, gray=gray,
-        n_ori=detector.num_orientations)
+        n_ori=detector.num_orientations,
+        chain_desc=chain[2] if chain is not None else None,
+        use_pallas=use_pallas)
     fields = [f for b in banks for f in b]
+    if chain is not None:
+        fields += [chain[0], chain[1]]
     k, x, y, sc, valid, n_above, nd = step(
         jnp.asarray(images), jnp.float32(detector.weak_threshold),
         jnp.float32(threshold), *fields)

@@ -148,6 +148,63 @@ def test_chain_packed2_wide_bank_cells_exact():
     assert jnp.array_equal(cells_chain, cells_prod)
 
 
+def test_plan_chain_sharded_shapes(dense_detector):
+    """Per-shard plans stack: meta [n_shards*P_max, ...], emit
+    [K] with shard-local row indices, shared ChainDesc."""
+    from shape_based_matching_tpu.ops.pallas.chain_plan import (
+        CHAIN_S, CHAIN_U, plan_chain, plan_chain_sharded)
+
+    det, _ = dense_detector
+    bank = det._get_banks("bench")[-1]
+    T = det.T_at_level[-1]
+    n_shards = 4          # 1500 % 4 == 0 -> K_loc = 375 >= _MIN_K
+    res = plan_chain_sharded(bank, n_shards, T, (256, 256),
+                             det.num_orientations)
+    assert res is not None
+    meta, emit, desc = res
+    assert meta.shape[0] == n_shards * desc.n_programs
+    assert meta.shape[1:] == (6, CHAIN_U, CHAIN_S)
+    assert emit.shape == (1500,)
+    # every shard's emit rows stay inside ITS padded program block
+    assert emit.max() < desc.n_programs * CHAIN_U
+    # the whole-bank plan and the sharded plan agree on the packing
+    plan0, desc0 = plan_chain(bank, T, (256, 256), det.num_orientations)
+    assert (desc.unit, desc.rows, desc.m_pad) == (
+        desc0.unit, desc0.rows, desc0.m_pad)
+
+
+def test_chain_sharded_match_exact(dense_detector):
+    """match_images_sharded with the templ-sharded chain engaged ==
+    single-device Detector.match (XLA), exactly — interpret-mode Pallas
+    under shard_map on the virtual CPU mesh."""
+    from shape_based_matching_tpu.parallel.mesh import (make_mesh,
+                                                        match_images_sharded)
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (virtual) devices")
+    det, templ = dense_detector
+    frames = np.stack([
+        np.asarray(synthetic_scene(256, 256, templ, n_instances=2, seed=s))
+        for s in (11, 21)])
+
+    mesh = make_mesh(4, data=2)      # templ axis = 2 -> K_loc = 750
+    det._chain_plans_sharded = {}
+    multi = match_images_sharded(det, frames, 85.0, mesh,
+                                 cand_cap=4096, use_pallas=True)
+    engaged = [v for (_bank, v) in det._chain_plans_sharded.values()
+               if v is not None]
+    assert engaged, "sharded chain plan did not engage on the dense bank"
+
+    det.use_pallas = False
+    single = [det.match(f, 85.0) for f in frames]
+    det.use_pallas = None
+
+    key = lambda m: (m.template_id, m.x, m.y, m.similarity)
+    for got, want in zip(multi, single):
+        assert sorted(map(key, got)) == sorted(map(key, want))
+    assert any(single), "scenes produced no matches (weak fixture)"
+
+
 def test_nonpow2_unroll_tree_regression():
     """rows_w=40 makes _unroll_for return 6 (non-power-of-2); the
     pairwise tree must carry odd tails instead of indexing past the
