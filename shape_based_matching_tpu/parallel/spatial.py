@@ -82,7 +82,8 @@ def default_halo(banks, T_levels: tuple) -> int:
 def spatial_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
                        n_shards: int, halo: int, cand_cap: int = 256,
                        distinct_cap: int = 64, gray: bool = True,
-                       n_ori: int = 8):
+                       n_ori: int = 8, chain_desc=None,
+                       use_pallas: bool | None = None):
     """Jitted row-sharded match for ONE huge frame.
 
     step(tiles [n_shards, Hs + 2*halo, W] u8, weak_threshold, threshold,
@@ -92,6 +93,11 @@ def spatial_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
     `tiles` come from :func:`slice_tiles` (overlapping in-image crops);
     the per-shard band ownership and y translation are derived from the
     same clipped-start arithmetic on the device side.
+
+    `chain_desc`: static half of a delta-chain plan for the (replicated)
+    bank at the TILE's coarse size. When set, the step takes two extra
+    trailing replicated operands (chain meta, emit) and every shard
+    scores through the chain kernel — bit-identical, dense banks only.
     """
     h, w = size_hw
     hs = h // n_shards
@@ -107,11 +113,20 @@ def spatial_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
     sizes = [(w >> l, tile_h >> l) for l in range(levels)]
     t_last = T_levels[-1]
     w_last = sizes[-1][0] // t_last
-    use_pallas = use_pallas_default()
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
 
-    def per_shard(tile, weak_threshold, threshold, *bank_fields):
+    def per_shard(tile, weak_threshold, threshold, *fields):
         from ..models.detector import _lm_pyramid
 
+        if chain_desc is not None:
+            from ..ops.pallas.chain_plan import ChainPlan
+
+            bank_fields = fields[:-2]
+            chain_plan = ChainPlan(meta=fields[-2], emit=fields[-1])
+        else:
+            bank_fields = fields
+            chain_plan = None
         banks = []
         for l in range(levels):
             banks.append(LevelBank(*bank_fields[7 * l:7 * (l + 1)]))
@@ -127,7 +142,7 @@ def spatial_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
 
         cells, positions, M = coarse_cells_dispatch(
             lms[-1][0], lms[-1][1], banks[-1], t_last, sizes[-1],
-            use_pallas)
+            use_pallas, chain=chain_plan, chain_desc=chain_desc)
         k, x, y, sc, valid, n_above = extract_candidates_cells(
             cells, positions, banks[-1].nfeat, threshold, t_last, w_last,
             cand_cap, M)
@@ -168,6 +183,8 @@ def spatial_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
         return k, x, y, sc, valid, n_above[None]
 
     bank_specs = tuple(P() for _ in range(7 * levels))
+    if chain_desc is not None:
+        bank_specs = bank_specs + (P(), P())   # replicated plan
     shard = jax.shard_map(
         per_shard,
         mesh=mesh,
@@ -193,7 +210,8 @@ def slice_tiles(image: np.ndarray, n_shards: int, halo: int) -> np.ndarray:
 
 def match_huge_frame(detector, image, threshold: float,
                      mesh: Mesh | None = None, class_id=None,
-                     halo: int | None = None, cand_cap: int = 256):
+                     halo: int | None = None, cand_cap: int = 256,
+                     use_pallas: bool | None = None):
     """Host convenience: spatially-sharded match of one frame, returning
     the same sorted/deduped Match list as Detector.match.
 
@@ -241,11 +259,26 @@ def match_huge_frame(detector, image, threshold: float,
             f"refinement reach + frontend support); near-band-edge "
             f"matches would be inexact — pass halo >= {need} or omit it")
 
+    pallas_on = (use_pallas_default() if use_pallas is None
+                 else bool(use_pallas))
+    levels = detector.pyramid_levels
+    tile_h = h // n + 2 * halo
+    size_last_tile = (w >> (levels - 1), tile_h >> (levels - 1))
+    # the bank is replicated across shards, so the single-device plan at
+    # the TILE size is the right one (Detector._get_chain caches it)
+    chain = (detector._get_chain(banks[-1], size_last_tile)
+             if pallas_on else None)
+
     step = spatial_match_step(mesh, detector.T_at_level, (h, w), n, halo,
                               cand_cap=cand_cap,
                               gray=image.ndim == 2,
-                              n_ori=detector.num_orientations)
+                              n_ori=detector.num_orientations,
+                              chain_desc=chain[1] if chain is not None
+                              else None,
+                              use_pallas=use_pallas)
     fields = [f for b in banks for f in b]
+    if chain is not None:
+        fields += [chain[0].meta, chain[0].emit]
     tiles = slice_tiles(image, n, halo)
     k, x, y, sc, valid, n_above = step(
         jnp.asarray(tiles), jnp.float32(detector.weak_threshold),

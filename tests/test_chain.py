@@ -205,6 +205,34 @@ def test_chain_sharded_match_exact(dense_detector):
     assert any(single), "scenes produced no matches (weak fixture)"
 
 
+def test_chain_spatial_match_exact(dense_detector):
+    """match_huge_frame with the chain engaged (bank replicated, plan at
+    TILE size) == single-device Detector.match on the full frame."""
+    from shape_based_matching_tpu.parallel.spatial import (make_spatial_mesh,
+                                                           match_huge_frame)
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 (virtual) devices")
+    det, templ = dense_detector
+    frame = np.asarray(synthetic_scene(1024, 256, templ, n_instances=3,
+                                       seed=31))
+
+    mesh = make_spatial_mesh(2)
+    det._chain_plans.clear()
+    got = match_huge_frame(det, frame, 88.0, mesh, cand_cap=4096,
+                           use_pallas=True)
+    engaged = [v for v in det._chain_plans.values() if v is not None]
+    assert engaged, "spatial chain plan did not engage on the dense bank"
+
+    det.use_pallas = False
+    want = det.match(frame, 88.0)
+    det.use_pallas = None
+
+    key = lambda m: (m.template_id, m.x, m.y, m.similarity)
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert want, "scene produced no matches (weak fixture)"
+
+
 def test_nonpow2_unroll_tree_regression():
     """rows_w=40 makes _unroll_for return 6 (non-power-of-2); the
     pairwise tree must carry odd tails instead of indexing past the
