@@ -26,11 +26,14 @@ from ..ops.gradients import (quantized_orientations_color,
 from ..ops.filters import pyr_down_u8, resize_nearest
 from ..ops.response import build_linear_memories
 from ..ops.similarity import (LevelBank, coarse_cells_dispatch,
+                              coarse_extract_dispatch,
                               coarse_similarity_dispatch,
                               distinct_templates, extract_candidates_cells,
-                              gather_bank, pack_level_bank,
-                              refine_candidates, refine_from_maps,
-                              use_pallas_default)
+                              extract_candidates_chain_words,
+                              extract_candidates_words, gather_bank,
+                              pack_level_bank, refine_candidates,
+                              refine_from_maps, use_pallas_default,
+                              words_extract_enabled)
 from ..ops.pallas.refine_pallas import (map_refine_supported,
                                         refine_from_maps_pallas,
                                         refine_windows_pallas,
@@ -215,12 +218,10 @@ def _match_batch_class(lms, banks, threshold, T: tuple, levels: int,
 
     def per_frame(lm_tuple):
         lm_last, lmflat_last = lm_tuple[-1][0], lm_tuple[-1][1]
-        cells, positions, M = coarse_cells_dispatch(
-            lm_last, lmflat_last, banks[-1], t_last, size_last, use_pallas,
-            chain=chain_plan, chain_desc=chain_desc)
-        k, x, y, sc, valid, n_above = extract_candidates_cells(
-            cells, positions, banks[-1].nfeat, threshold, t_last, w_last,
-            cand_cap, M)
+        k, x, y, sc, valid, n_above = coarse_extract_dispatch(
+            lm_last, lmflat_last, banks[-1], t_last, size_last,
+            threshold, cand_cap, use_pallas, chain=chain_plan,
+            chain_desc=chain_desc)
         overflow = n_above > cand_cap
         for l in range(levels - 2, -1, -1):
             lm_l, lmflat_l = lm_tuple[l][0], lm_tuple[l][1]
@@ -854,10 +855,42 @@ class Detector:
                  if use_pallas else None)
         chain_plan, chain_desc = chain if chain is not None else (None,
                                                                   None)
-        cells, positions, M = coarse_cells_dispatch(
-            lm_last, lmflat_last, bank_last, t_last, size_last,
-            use_pallas, chain=chain_plan, chain_desc=chain_desc)
-        nfeat_for_extract = bank_last.nfeat
+        # Coarse scoring ONCE; extraction re-runs over escalating caps on
+        # the resident scores. Route priority mirrors
+        # coarse_extract_dispatch: chain word rows > packed word tiles >
+        # cells (XLA fallback / escape hatches).
+        M = (size_last[0] // t_last) * (size_last[1] // t_last)
+        thr = jnp.float32(threshold)
+        nfeat_b = bank_last.nfeat
+        extract = None
+        if use_pallas and words_extract_enabled():
+            if chain_plan is not None:
+                from ..ops.pallas.similarity_pallas import (
+                    chain_coarse_word_rows)
+
+                words, positions = chain_coarse_word_rows(
+                    lm_last, bank_last, chain_plan, chain_desc, t_last,
+                    size_last)
+                extract = lambda cap: extract_candidates_chain_words(
+                    words, chain_plan.emit, positions, nfeat_b, thr,
+                    chain_desc.unit, t_last, w_last, cap, M)
+            else:
+                from ..ops.pallas.similarity_pallas import (
+                    coarse_words_pallas)
+
+                resw = coarse_words_pallas(lm_last, bank_last, t_last,
+                                           size_last)
+                if resw is not None:
+                    words, positions, unit = resw
+                    extract = lambda cap: extract_candidates_words(
+                        words, positions, nfeat_b, thr, unit, t_last,
+                        w_last, cap, M)
+        if extract is None:
+            cells, positions, M = coarse_cells_dispatch(
+                lm_last, lmflat_last, bank_last, t_last, size_last,
+                use_pallas, chain=chain_plan, chain_desc=chain_desc)
+            extract = lambda cap: extract_candidates_cells(
+                cells, positions, nfeat_b, thr, t_last, w_last, cap, M)
         total = K * M
 
         buckets = [c for c in _CAND_BUCKETS if c <= total] or [total]
@@ -865,9 +898,7 @@ class Detector:
             buckets = [min(c, int(max_candidates)) for c in buckets]
         k = x = y = sc = valid = None
         for cap in buckets:
-            k, x, y, sc, valid, n_above = extract_candidates_cells(
-                cells, positions, nfeat_for_extract, jnp.float32(threshold),
-                t_last, w_last, cap, M)
+            k, x, y, sc, valid, n_above = extract(cap)
             n_above = int(n_above)
             if n_above <= cap or cap == buckets[-1]:
                 if n_above > cap:

@@ -150,10 +150,11 @@ def plan_chain(bank, T: int, size_wh, n_ori: int,
             slots = [slot(p, sh, 1) for (p, sh), c in fk.items()
                      for _ in range(c)]
             keep0 = 0
-        if not slots and prev is not None:
-            emit[k] = emit[k - 1]          # zero-delta template: free
-            prev = fk
-            continue
+        # zero-delta templates (exact duplicates) still get ONE no-op
+        # sub-step (keep=1, all-PAD slots): emit rows stay STRICTLY
+        # increasing, which the row-direct candidate extraction
+        # (ops.similarity.extract_candidates_chain) relies on to invert
+        # emit into a row->template map.
         need = max(1, -(-len(slots) // S))
         if len(cur) + need > U_max:
             flush()
@@ -177,6 +178,7 @@ def plan_chain(bank, T: int, size_wh, n_ori: int,
     plain_cost = int(nf.sum())
     if plain_cost == 0 or chain_cost > max_ratio * plain_cost:
         return None
+    assert (np.diff(emit) > 0).all(), "emit rows must strictly increase"
 
     meta = np.zeros((P, 6, U_max, S), np.int32)
     meta[:, 0] = zp

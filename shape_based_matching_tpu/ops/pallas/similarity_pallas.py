@@ -449,6 +449,73 @@ def _make_chain_kernel(U: int, S: int):
     return kernel
 
 
+def coarse_words_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
+                        size_wh, interpret: bool | None = None):
+    """Packed coarse scores as NATIVE i32 word tiles.
+
+    Returns (words [K, rows_w, 128] i32, positions, unit) where unit is
+    cells per word (4 = u8 cells, 2 = u16) — the exact kernel output
+    extract_candidates_words consumes without any layout-crossing
+    bitcast/reshape. Returns None when the bank doesn't take a packed
+    kernel (too many features, or the preshifted copies bust VMEM);
+    callers fall back to the cells route."""
+    w_img, h_img = size_wh
+    W, H = w_img // T, h_img // T
+    M = W * H
+    n_ori = int(lm.shape[0])
+    C = n_ori * T * T
+    N_slots = int(bank.fx.shape[1])
+    max_resp = 4
+    M_pad = -(-(M + max(W, 1)) // 4096) * 4096
+    fits = 4 * (C + 1) * M_pad <= 36 * 2**20
+    if N_slots * max_resp <= 255 and fits:
+        unit = 4
+    elif N_slots * max_resp <= 65535 and fits:
+        unit = 2
+    else:
+        return None
+    words, positions = _coarse_words_pallas(lm, bank, T, size_wh, unit,
+                                            _resolve_interpret(interpret))
+    return words, positions, unit
+
+
+@functools.partial(jax.jit, static_argnames=("T", "size_wh", "unit",
+                                             "interpret"))
+def _coarse_words_pallas(lm, bank: LevelBank, T: int, size_wh, unit: int,
+                         interpret: bool):
+    w_img, h_img = size_wh
+    W, H = w_img // T, h_img // T
+    M = W * H
+    n_ori = int(lm.shape[0])
+    C = n_ori * T * T
+    M_pad = -(-(M + max(W, 1)) // 4096) * 4096
+    rows_w = M_pad // (128 * unit)
+    flat = _extend_lm_planes(lm, M, M_pad, C)
+    lmp = _pack_copies(flat, C, unit, rows_w)
+
+    inb = (bank.valid
+           & (bank.fx >= 0) & (bank.fx < w_img)
+           & (bank.fy >= 0) & (bank.fy < h_img))
+    plane = bank.label * (T * T) + (bank.fy % T) * T + (bank.fx % T)
+    plane = jnp.where(inb, plane, C)
+    shift = jnp.where(inb, (bank.fy // T) * W + bank.fx // T, 0)
+    nf = jnp.where(bank.valid.any(axis=1), bank.nfeat, 0).astype(jnp.int32)
+    unroll = _unroll_for(rows_w)
+    meta = _build_meta(plane, shift, nf, unit=unit, copies=unit, C=C,
+                       rows=rows_w, unroll=unroll)
+    Sp = _run_rotate_kernel(meta, lmp, rows_w, (unroll,), interpret)
+    return Sp, _positions(bank, T, W, H)
+
+
+def chain_coarse_word_rows(lm: jnp.ndarray, bank: LevelBank, plan, desc,
+                           T: int, size_wh,
+                           interpret: bool | None = None):
+    """Chain kernel's RAW word tiles [P*U, rows, 128] i32 — no emit
+    gather, no bitcast. Feed to extract_candidates_chain_words."""
+    return _chain_word_rows(lm, bank, plan.meta, T, size_wh, desc,
+                            _resolve_interpret(interpret))
+
+
 def chain_coarse_cells(lm: jnp.ndarray, bank: LevelBank, plan, desc,
                        T: int, size_wh, interpret: bool | None = None):
     """Chain-scored raw cells (the coarse_cells_dispatch fast path for
@@ -459,10 +526,25 @@ def chain_coarse_cells(lm: jnp.ndarray, bank: LevelBank, plan, desc,
                                _resolve_interpret(interpret))
 
 
+def chain_coarse_rows(lm: jnp.ndarray, bank: LevelBank, plan, desc,
+                      T: int, size_wh, interpret: bool | None = None):
+    """Chain-scored RAW sub-step rows — no emit gather.
+
+    Returns (rows_cells [P*U, m_pad] u8/u16 native dtype, positions).
+    Row plan.emit[k] holds template k's cells, bit-identical to
+    chain_coarse_cells; other rows are chain intermediates / padding.
+    Feed to ops.similarity.extract_candidates_chain, which consumes the
+    rows directly with a row->template inverse of emit — at K=10k the
+    emit gather materializes ~2x the cell bytes and measured +2.6 ms
+    on v5e (tools/exp_chain_cost.py), all of it skippable."""
+    return _chain_coarse_rows(lm, bank, plan.meta, T, size_wh, desc,
+                              _resolve_interpret(interpret))
+
+
 @functools.partial(jax.jit, static_argnames=("T", "size_wh", "desc",
                                              "interpret"))
-def _chain_coarse_cells(lm, bank, plan, T: int, size_wh, desc,
-                        interpret: bool):
+def _chain_word_rows(lm, bank, plan_meta, T: int, size_wh, desc,
+                     interpret: bool):
     from .chain_plan import CHAIN_S, CHAIN_U
 
     w_img, h_img = size_wh
@@ -490,10 +572,27 @@ def _chain_coarse_cells(lm, bank, plan, T: int, size_wh, desc,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(plan.meta, lmp)
-    rows_k = out.reshape(P * CHAIN_U, desc.rows, 128)[plan.emit]
-    K = plan.emit.shape[0]
+    )(plan_meta, lmp)
+    return (out.reshape(P * CHAIN_U, desc.rows, 128),
+            _positions(bank, T, W, H))
+
+
+@functools.partial(jax.jit, static_argnames=("T", "size_wh", "desc",
+                                             "interpret"))
+def _chain_coarse_rows(lm, bank, plan_meta, T: int, size_wh, desc,
+                       interpret: bool):
+    out, positions = _chain_word_rows(lm, bank, plan_meta, T, size_wh,
+                                      desc, interpret)
     cell_dtype = jnp.uint8 if desc.unit == 4 else jnp.uint16
-    cells = jax.lax.bitcast_convert_type(rows_k, cell_dtype).reshape(
-        K, desc.m_pad)
-    return cells, _positions(bank, T, W, H)
+    rows_cells = jax.lax.bitcast_convert_type(out, cell_dtype).reshape(
+        out.shape[0], desc.m_pad)
+    return rows_cells, positions
+
+
+@functools.partial(jax.jit, static_argnames=("T", "size_wh", "desc",
+                                             "interpret"))
+def _chain_coarse_cells(lm, bank, plan, T: int, size_wh, desc,
+                        interpret: bool):
+    rows_cells, positions = _chain_coarse_rows(lm, bank, plan.meta, T,
+                                               size_wh, desc, interpret)
+    return rows_cells[plan.emit], positions

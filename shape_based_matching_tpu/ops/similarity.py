@@ -251,42 +251,29 @@ def coarse_cells_dispatch(lm: jnp.ndarray, lmflat: jnp.ndarray,
     return S, positions, M
 
 
-@partial(jax.jit, static_argnames=("T", "W", "C", "M"))
-def extract_candidates_cells(cells: jnp.ndarray, positions: jnp.ndarray,
-                             nfeat: jnp.ndarray, threshold,
-                             T: int, W: int, C: int, M: int):
-    """extract_candidates on NATIVE-dtype score cells (u8/u16/i32).
+def _extract_rows(cells, pos_row, rmin_row, passable_row, quirk_row,
+                  t4n, row_tmpl, T: int, W: int, C: int, M: int):
+    """Candidate extraction over generic score ROWS (the shared core of
+    extract_candidates_cells and extract_candidates_chain).
 
-    Exactly the semantics of masking + extract_candidates on the i32
-    map — (template, row-major position) candidate order, the integer
-    rmin compare, and the negative-threshold quirk (cells past
-    `positions` count as score 0, so they pass iff rmin <= 0, matching
-    the reference's zero-initialized similarity Mat scan,
-    line2Dup.cpp:1190-1204) — but in ONE fused pass over the packed
-    cells plus O(C) gathers:
-
-    * block counts: the >=rmin compare fuses into a 128-lane-block sum
-      (never materializing the bool map),
-    * candidate slots find their block by TWO-level searchsorted over
-      block-count prefix sums (a [C, NB] masked reduction is O(C*K*M/128)
-      — 670M ops at K=10k — so blocks group into 128-block superblocks
-      first: O(C*NB/128 + C*256)),
-    * each slot re-derives its lane from a [C, 128] gather of the cells.
+    `cells` is [R, Mp] native-dtype score cells; pos/rmin/passable/quirk
+    are PER-ROW vectors. `row_tmpl` maps row -> template id (None means
+    rows ARE templates, i.e. the identity — the extra gather folds
+    away); `t4n` stays per-TEMPLATE for the final score normalize.
+    Candidate order is flat (row, position) — template-major whenever
+    row order follows template order.
     """
-    K, Mp = cells.shape
-    rmin, t4n = _rmin_for_threshold(nfeat, threshold)
+    R, Mp = cells.shape
     cell_max = jnp.int32(jnp.iinfo(cells.dtype).max)
-    passable = rmin <= cell_max                      # [K]
-    rmin_c = jnp.minimum(rmin, cell_max).astype(cells.dtype)
-    quirk = rmin <= 0                                # [K]
+    rmin_c = jnp.minimum(rmin_row, cell_max).astype(cells.dtype)
 
     j = jnp.arange(Mp, dtype=jnp.int32)[None, :]
-    live = j < positions[:, None]
-    above = (live & passable[:, None] & (cells >= rmin_c[:, None])) | (
-        quirk[:, None] & ~live & (j < M))
+    live = j < pos_row[:, None]
+    above = (live & passable_row[:, None] & (cells >= rmin_c[:, None])) | (
+        quirk_row[:, None] & ~live & (j < M))
 
-    flat = above.reshape(-1)                         # [K * Mp] bool
-    total = K * Mp
+    flat = above.reshape(-1)                         # [R * Mp] bool
+    total = R * Mp
     nb = -(-total // 128)
     pad = nb * 128 - total
     if pad:  # Mp is 128-aligned in practice; keep the general case exact
@@ -318,31 +305,324 @@ def extract_candidates_cells(cells: jnp.ndarray, positions: jnp.ndarray,
     blk_excl = blk_incl - blk_rows
     r2 = r1 - blk_excl[jnp.arange(C), jnp.minimum(bi, 127)]  # rank in block
 
-    # re-derive the block's 128 flags from the cells (O(C*128) gathers)
+    # re-derive the block's 128 flags from the cells (O(C*128) gathers).
+    # NOTE: resist "optimizing" this into cells.reshape(-1, 128)[blk]
+    # row gathers — on TPU the [R, Mp] -> [nb, 128] reshape crosses the
+    # tiled (8, 128) layout and relayouts the WHOLE cell array
+    # (measured +17 ms at K=10k, tools/exp_chain_cost.py round 3).
     lane128 = jnp.arange(128, dtype=jnp.int32)[None, :]
     gidx = blk_safe[:, None] * 128 + lane128         # [C, 128] flat index
     gidx_c = jnp.minimum(gidx, total - 1)
     gk = gidx_c // Mp
     gj = gidx_c % Mp
     gcell = cells[gk, gj].astype(jnp.int32)
-    glive = gj < positions[gk]
-    gabove = ((glive & passable[gk]
-               & (gcell >= rmin[gk])) | (quirk[gk] & ~glive & (gj < M))) \
-        & (gidx < total)
+    glive = gj < pos_row[gk]
+    gabove = ((glive & passable_row[gk]
+               & (gcell >= rmin_row[gk]))
+              | (quirk_row[gk] & ~glive & (gj < M))) & (gidx < total)
     lane_incl = jnp.cumsum(gabove.astype(jnp.int32), axis=1)
     lane = jnp.sum(lane_incl <= r2[:, None], axis=1, dtype=jnp.int32)
     idx = jnp.where(got, blk_safe * 128 + jnp.minimum(lane, 127), total)
 
     got &= idx < total
     idx_safe = jnp.minimum(idx, total - 1)
-    k = (idx_safe // Mp).astype(jnp.int32)
+    row = (idx_safe // Mp).astype(jnp.int32)
     jj = (idx_safe % Mp).astype(jnp.int32)
-    raw = jnp.where(jj < positions[k], cells[k, jj].astype(jnp.int32), 0)
+    raw = jnp.where(jj < pos_row[row], cells[row, jj].astype(jnp.int32), 0)
+    if row_tmpl is None:
+        k = row
+    else:
+        k = jnp.minimum(row_tmpl[row], t4n.shape[0] - 1)
     sc = (raw * 100).astype(jnp.float32) / t4n[k]
     offset = T // 2 + (T % 2 - 1)
     x = (jj % W) * T + offset
     y = (jj // W) * T + offset
     return k, x, y, sc, got, n_above
+
+
+@partial(jax.jit, static_argnames=("T", "W", "C", "M"))
+def extract_candidates_cells(cells: jnp.ndarray, positions: jnp.ndarray,
+                             nfeat: jnp.ndarray, threshold,
+                             T: int, W: int, C: int, M: int):
+    """extract_candidates on NATIVE-dtype score cells (u8/u16/i32).
+
+    Exactly the semantics of masking + extract_candidates on the i32
+    map — (template, row-major position) candidate order, the integer
+    rmin compare, and the negative-threshold quirk (cells past
+    `positions` count as score 0, so they pass iff rmin <= 0, matching
+    the reference's zero-initialized similarity Mat scan,
+    line2Dup.cpp:1190-1204) — but in ONE fused pass over the packed
+    cells plus O(C) gathers:
+
+    * block counts: the >=rmin compare fuses into a 128-lane-block sum
+      (never materializing the bool map),
+    * candidate slots find their block by TWO-level searchsorted over
+      block-count prefix sums (a [C, NB] masked reduction is O(C*K*M/128)
+      — 670M ops at K=10k — so blocks group into 128-block superblocks
+      first: O(C*NB/128 + C*256)),
+    * each slot re-derives its lane from a [C, 128]-cell block gather.
+    """
+    rmin, t4n = _rmin_for_threshold(nfeat, threshold)
+    cell_max = jnp.int32(jnp.iinfo(cells.dtype).max)
+    passable = rmin <= cell_max                      # [K]
+    quirk = rmin <= 0                                # [K]
+    return _extract_rows(cells, positions, rmin, passable, quirk,
+                         t4n, None, T, W, C, M)
+
+
+@partial(jax.jit, static_argnames=("T", "W", "C", "M"))
+def extract_candidates_chain(rows_cells: jnp.ndarray, emit: jnp.ndarray,
+                             positions: jnp.ndarray, nfeat: jnp.ndarray,
+                             threshold, T: int, W: int, C: int, M: int):
+    """extract_candidates_cells directly on RAW chain sub-step rows.
+
+    `rows_cells` is chain_coarse_rows' [R, Mp] output; template k's
+    cells live at row emit[k] (strictly increasing — guaranteed by the
+    planner), other rows are chain intermediates. Inverting emit into a
+    row->template map and extracting on the raw rows skips the [K, Mp]
+    emit-gather materialization entirely (+2.6 ms at K=10k on v5e);
+    non-emit rows get never-passing parameters so they contribute no
+    candidates and the candidate order stays template-major. Returns
+    exactly extract_candidates_cells(rows_cells[emit], ...).
+    """
+    R = rows_cells.shape[0]
+    K = nfeat.shape[0]
+    rmin, t4n = _rmin_for_threshold(nfeat, threshold)
+    cell_max = jnp.int32(jnp.iinfo(rows_cells.dtype).max)
+    passable = rmin <= cell_max                      # [K]
+    quirk = rmin <= 0                                # [K]
+    big = jnp.full((1,), 1 << 30, jnp.int32)
+    row_tmpl = jnp.full((R,), K, jnp.int32).at[emit].set(
+        jnp.arange(K, dtype=jnp.int32))
+    pos_row = jnp.concatenate(
+        [positions.astype(jnp.int32), jnp.zeros((1,), jnp.int32)])[row_tmpl]
+    rmin_row = jnp.concatenate([rmin, big])[row_tmpl]
+    passable_row = jnp.concatenate(
+        [passable, jnp.zeros((1,), jnp.bool_)])[row_tmpl]
+    quirk_row = jnp.concatenate(
+        [quirk, jnp.zeros((1,), jnp.bool_)])[row_tmpl]
+    return _extract_rows(rows_cells, pos_row, rmin_row, passable_row,
+                         quirk_row, t4n, row_tmpl, T, W, C, M)
+
+
+def _extract_words(words, pos_row, rmin_row, passable_row, quirk_row,
+                   t4n, row_tmpl, unit: int, T: int, W: int, C: int,
+                   M: int):
+    """Candidate extraction on the packed-kernel's NATIVE i32 words —
+    the layout-friendly twin of _extract_rows.
+
+    `words` is [R, rows, 128] i32 straight from the coarse kernel (the
+    array extract_candidates_cells sees as a bitcast u8/u16 view);
+    `unit` is cells per word (4 = u8 cells, 2 = u16). Semantics,
+    candidate ORDER (flat row-major cell order) and every returned
+    value are bit-identical to _extract_rows on the bitcast cells.
+
+    Why a second implementation: on TPU the cells view's [R, Mp] ->
+    [nb, 128] reshape crosses the tiled (8, 128) layout, so the
+    `above`-compare + block-count pass relayouts the whole score array
+    (the dominant extraction cost at K=10k). Here a BLOCK is one tile
+    row — 128 words = 128*unit cells, already lane-aligned — so the
+    compare unpacks bytes with shifts and the block count is a plain
+    minor-axis reduce: one fused pass over the words, no relayout.
+    """
+    R, rows, lanes = words.shape
+    bits = 32 // unit
+    vmask = (1 << bits) - 1
+    Mp = rows * lanes * unit
+    blk_cells = lanes * unit                         # cells per block
+
+    # j of each word's cell 0: (tile_row * 128 + lane) * unit
+    tr_l = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    ln_l = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    jbase = ((tr_l * lanes) + ln_l) * unit           # [rows, 128]
+
+    pos_b = pos_row[:, None, None]
+    pas_b = passable_row[:, None, None]
+    qrk_b = quirk_row[:, None, None]
+    rmin_b = rmin_row[:, None, None]
+
+    def word_flags(w, jb):
+        """Per-sub-cell pass flags of word array `w` (leading axes
+        broadcast against the per-row params)."""
+        flags = []
+        for s in range(unit):
+            v = (w >> (bits * s)) & vmask
+            j = jb + s
+            live = j < pos_b
+            flags.append((live & pas_b & (v >= rmin_b))
+                         | (qrk_b & ~live & (j < M)))
+        return flags
+
+    flags = word_flags(words, jbase[None])
+    cnt_blk = sum(jnp.sum(f, axis=2, dtype=jnp.int32) for f in flags)
+    bcnt = cnt_blk.reshape(-1)                       # [NB] block counts
+    nb = R * rows
+    incl = jnp.cumsum(bcnt)
+    n_above = incl[-1]
+
+    # two-level searchsorted over block prefix sums (same machinery as
+    # _extract_rows, block size = one tile row)
+    ns = -(-nb // 128)
+    cnt_p = jnp.concatenate(
+        [bcnt, jnp.zeros((ns * 128 - nb,), jnp.int32)]) if ns * 128 != nb \
+        else bcnt
+    sup = jnp.sum(cnt_p.reshape(ns, 128), axis=1, dtype=jnp.int32)
+    sup_incl = jnp.cumsum(sup)
+    slots = jnp.arange(C, dtype=jnp.int32)
+    sb = jnp.sum(sup_incl[None, :] <= slots[:, None], axis=1,
+                 dtype=jnp.int32)
+    got = sb < ns
+    sb_safe = jnp.minimum(sb, ns - 1)
+    sup_excl = sup_incl - sup
+    r1 = slots - sup_excl[sb_safe]
+    blk_rows = cnt_p.reshape(ns, 128)[sb_safe]       # [C, 128]
+    blk_incl = jnp.cumsum(blk_rows, axis=1)
+    bi = jnp.sum(blk_incl <= r1[:, None], axis=1, dtype=jnp.int32)
+    blk = sb_safe * 128 + jnp.minimum(bi, 127)
+    got &= blk < nb
+    blk_safe = jnp.minimum(blk, nb - 1)
+    blk_excl = blk_incl - blk_rows
+    r2 = r1 - blk_excl[jnp.arange(C), jnp.minimum(bi, 127)]
+
+    # candidate blocks: row + tile row; gather each block's 128 words
+    # (contiguous minor axis — no relayout)
+    grow = blk_safe // rows                          # [C]
+    gtr = blk_safe % rows
+    gw = words[grow, gtr]                            # [C, 128] i32
+    gjb = (gtr[:, None] * lanes
+           + jnp.arange(lanes, dtype=jnp.int32)[None, :]) * unit
+    gpos = pos_row[grow][:, None, None]
+    gpas = passable_row[grow][:, None, None]
+    gqrk = quirk_row[grow][:, None, None]
+    grmin = rmin_row[grow][:, None, None]
+    gflags = []
+    for s in range(unit):
+        v = (gw >> (bits * s)) & vmask
+        j = gjb + s
+        live = j < gpos[:, :, 0]
+        gflags.append((live & gpas[:, :, 0] & (v >= grmin[:, :, 0]))
+                      | (gqrk[:, :, 0] & ~live & (j < M)))
+    # within-block cell order is (lane, sub-cell): lane-major
+    per_lane = sum(f.astype(jnp.int32) for f in gflags)   # [C, 128]
+    lane_incl = jnp.cumsum(per_lane, axis=1)
+    lane = jnp.sum(lane_incl <= r2[:, None], axis=1, dtype=jnp.int32)
+    lane_c = jnp.minimum(lane, lanes - 1)
+    lane_excl = lane_incl - per_lane
+    r3 = r2 - lane_excl[jnp.arange(C), lane_c]       # rank within lane
+    sflags = jnp.stack(
+        [f[jnp.arange(C), lane_c] for f in gflags], axis=1)  # [C, unit]
+    s_incl = jnp.cumsum(sflags.astype(jnp.int32), axis=1)
+    s_pick = jnp.sum(s_incl <= r3[:, None], axis=1, dtype=jnp.int32)
+    s_safe = jnp.minimum(s_pick, unit - 1)
+    got &= lane < lanes
+
+    jj = gjb[jnp.arange(C), lane_c] + s_safe         # cell index in row
+    wsel = gw[jnp.arange(C), lane_c]
+    raw_v = (wsel >> (bits * s_safe)) & vmask
+    raw = jnp.where(jj < pos_row[grow], raw_v, 0)
+    if row_tmpl is None:
+        k = grow
+    else:
+        k = jnp.minimum(row_tmpl[grow], t4n.shape[0] - 1)
+    sc = (raw * 100).astype(jnp.float32) / t4n[k]
+    offset = T // 2 + (T % 2 - 1)
+    x = (jj % W) * T + offset
+    y = (jj // W) * T + offset
+    return k, x, y, sc, got, n_above
+
+
+@partial(jax.jit, static_argnames=("unit", "T", "W", "C", "M"))
+def extract_candidates_words(words: jnp.ndarray, positions: jnp.ndarray,
+                             nfeat: jnp.ndarray, threshold, unit: int,
+                             T: int, W: int, C: int, M: int):
+    """extract_candidates_cells on the packed kernel's native i32 word
+    tiles [K, rows, 128] (raw_words=True output) — bit-identical
+    results, no layout-crossing reshapes (see _extract_words)."""
+    rmin, t4n = _rmin_for_threshold(nfeat, threshold)
+    cell_max = jnp.int32((1 << (32 // unit)) - 1)
+    passable = rmin <= cell_max
+    quirk = rmin <= 0
+    return _extract_words(words, positions.astype(jnp.int32), rmin,
+                          passable, quirk, t4n, None, unit, T, W, C, M)
+
+
+@partial(jax.jit, static_argnames=("unit", "T", "W", "C", "M"))
+def extract_candidates_chain_words(words: jnp.ndarray, emit: jnp.ndarray,
+                                   positions: jnp.ndarray,
+                                   nfeat: jnp.ndarray, threshold,
+                                   unit: int, T: int, W: int, C: int,
+                                   M: int):
+    """extract_candidates_chain on the chain kernel's RAW word tiles
+    [R, rows, 128] i32 (R = programs * sub-steps) — the fast path that
+    needs neither the emit gather NOR a layout-crossing compare pass."""
+    R = words.shape[0]
+    K = nfeat.shape[0]
+    rmin, t4n = _rmin_for_threshold(nfeat, threshold)
+    cell_max = jnp.int32((1 << (32 // unit)) - 1)
+    passable = rmin <= cell_max
+    quirk = rmin <= 0
+    big = jnp.full((1,), 1 << 30, jnp.int32)
+    row_tmpl = jnp.full((R,), K, jnp.int32).at[emit].set(
+        jnp.arange(K, dtype=jnp.int32))
+    pos_row = jnp.concatenate(
+        [positions.astype(jnp.int32), jnp.zeros((1,), jnp.int32)])[row_tmpl]
+    rmin_row = jnp.concatenate([rmin, big])[row_tmpl]
+    passable_row = jnp.concatenate(
+        [passable, jnp.zeros((1,), jnp.bool_)])[row_tmpl]
+    quirk_row = jnp.concatenate(
+        [quirk, jnp.zeros((1,), jnp.bool_)])[row_tmpl]
+    return _extract_words(words, pos_row, rmin_row, passable_row,
+                          quirk_row, t4n, row_tmpl, unit, T, W, C, M)
+
+
+def words_extract_enabled() -> bool:
+    """Extraction on the kernels' native i32 word tiles (no bitcast
+    views, no layout-crossing reshapes). SBM_NO_WORDS_EXTRACT=1 is the
+    escape hatch back to the u8/u16 cells route."""
+    import os
+    return os.environ.get("SBM_NO_WORDS_EXTRACT", "") != "1"
+
+
+def coarse_extract_dispatch(lm, lmflat, bank: LevelBank, T: int, size_wh,
+                            threshold, cand_cap: int, use_pallas=None,
+                            chain=None, chain_desc=None):
+    """Coarse scoring + candidate extraction in one call, routed to the
+    fastest bit-identical path:
+
+    * delta-chain plan + Pallas: chain kernel's RAW word rows ->
+      extract_candidates_chain_words (no emit gather, no bitcast),
+    * packed Pallas kernel: native word tiles -> extract_candidates_words,
+    * otherwise: cells/i32-map route (XLA fallback, stitch kernel,
+      SBM_NO_WORDS_EXTRACT=1).
+
+    Returns (k, x, y, sc, valid, n_above)."""
+    w_img, h_img = size_wh
+    W = w_img // T
+    M = W * (h_img // T)
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    if use_pallas and words_extract_enabled():
+        if chain is not None:
+            from .pallas.similarity_pallas import chain_coarse_word_rows
+
+            words, positions = chain_coarse_word_rows(
+                lm, bank, chain, chain_desc, T, size_wh)
+            return extract_candidates_chain_words(
+                words, chain.emit, positions, bank.nfeat, threshold,
+                chain_desc.unit, T, W, cand_cap, M)
+        from .pallas.similarity_pallas import coarse_words_pallas
+
+        res = coarse_words_pallas(lm, bank, T, size_wh)
+        if res is not None:
+            words, positions, unit = res
+            return extract_candidates_words(
+                words, positions, bank.nfeat, threshold, unit, T, W,
+                cand_cap, M)
+    cells, positions, M = coarse_cells_dispatch(
+        lm, lmflat, bank, T, size_wh, use_pallas, chain=chain,
+        chain_desc=chain_desc)
+    return extract_candidates_cells(cells, positions, bank.nfeat,
+                                    threshold, T, W, cand_cap, M)
 
 
 def coarse_candidates(lm: jnp.ndarray, lmflat: jnp.ndarray,

@@ -32,11 +32,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.gradients import (quantized_orientations_color,
                              quantized_orientations_gray)
 from ..ops.response import build_linear_memories
-from ..ops.similarity import (LevelBank, coarse_cells_dispatch,
+from ..ops.similarity import (LevelBank, coarse_extract_dispatch,
                               coarse_similarity_dispatch,
-                              distinct_templates, extract_candidates_cells,
-                              gather_bank, refine_from_maps,
-                              use_pallas_default)
+                              distinct_templates, gather_bank,
+                              refine_from_maps, use_pallas_default)
 from ..ops.filters import pyr_down_u8
 
 
@@ -130,12 +129,10 @@ def _local_match(images, banks, T_levels, sizes, weak_threshold, threshold,
                                       jnp.zeros((m,), jnp.uint8)])
             lms.append((lm, lmflat))
 
-        cells, positions, M = coarse_cells_dispatch(
+        k, x, y, sc, valid, n_above = coarse_extract_dispatch(
             lms[-1][0], lms[-1][1], banks[-1], t_last, sizes[-1],
-            use_pallas=use_pallas, chain=chain_plan, chain_desc=chain_desc)
-        k, x, y, sc, valid, n_above = extract_candidates_cells(
-            cells, positions, banks[-1].nfeat, threshold, t_last, w_last,
-            cand_cap, M)
+            threshold, cand_cap, use_pallas, chain=chain_plan,
+            chain_desc=chain_desc)
         n_distinct_max = jnp.int32(0)
         for l in range(levels - 2, -1, -1):
             if use_pallas and window_refine_supported(

@@ -43,11 +43,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.similarity import (LevelBank, coarse_cells_dispatch,
+from ..ops.similarity import (LevelBank, coarse_extract_dispatch,
                               coarse_similarity_dispatch,
-                              distinct_templates, extract_candidates_cells,
-                              gather_bank, refine_from_maps,
-                              use_pallas_default)
+                              distinct_templates, gather_bank,
+                              refine_from_maps, use_pallas_default)
 
 
 def make_spatial_mesh(n_shards: int | None = None) -> Mesh:
@@ -140,12 +139,10 @@ def spatial_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
                           False, T_levels, levels, weak_threshold, n_ori,
                           False, fused=use_pallas)
 
-        cells, positions, M = coarse_cells_dispatch(
+        k, x, y, sc, valid, n_above = coarse_extract_dispatch(
             lms[-1][0], lms[-1][1], banks[-1], t_last, sizes[-1],
-            use_pallas, chain=chain_plan, chain_desc=chain_desc)
-        k, x, y, sc, valid, n_above = extract_candidates_cells(
-            cells, positions, banks[-1].nfeat, threshold, t_last, w_last,
-            cand_cap, M)
+            threshold, cand_cap, use_pallas, chain=chain_plan,
+            chain_desc=chain_desc)
         # band ownership at the coarse level: the candidate's frame row
         # (coarse pixel coords are level-(levels-1) pixels)
         scale = 2 ** (levels - 1)

@@ -66,9 +66,15 @@ def test_planner_respects_disable_env(dense_detector, monkeypatch):
                       det.num_orientations) is None
 
 
-def test_chain_match_exact_vs_xla(dense_detector):
-    """Full match with the chain engaged == XLA fallback, exactly."""
+@pytest.mark.parametrize("words_route", [True, False])
+def test_chain_match_exact_vs_xla(dense_detector, monkeypatch,
+                                  words_route):
+    """Full match with the chain engaged == XLA fallback, exactly —
+    through the default word-rows extraction AND the cells escape
+    hatch (SBM_NO_WORDS_EXTRACT=1)."""
     det, templ = dense_detector
+    if not words_route:
+        monkeypatch.setenv("SBM_NO_WORDS_EXTRACT", "1")
     scene = synthetic_scene(256, 256, templ, n_instances=2, seed=11)
 
     det._chain_plans.clear()
@@ -86,8 +92,10 @@ def test_chain_match_exact_vs_xla(dense_detector):
     assert m_chain  # the scene contains instances; must find them
 
 
-def test_zero_delta_templates_share_emit_rows(dense_detector):
-    """Duplicate adjacent templates cost nothing: same emit row."""
+def test_zero_delta_templates_cost_one_substep(dense_detector):
+    """Duplicate adjacent templates cost ONE no-op sub-step each, and
+    emit rows stay strictly increasing (the row-direct extraction
+    inverts emit into a row->template map, so rows must be unique)."""
     det, _ = dense_detector
     bank = det._get_banks("bench")[-1]
     # duplicate every template's arrays pairwise -> zero deltas
@@ -104,9 +112,80 @@ def test_zero_delta_templates_share_emit_rows(dense_detector):
     res = plan_chain(dup, det.T_at_level[-1], (256, 256),
                      det.num_orientations)
     assert res is not None
-    plan, _ = res
+    plan, desc = res
     emit = np.asarray(plan.emit)
-    assert (emit[1::2] == emit[0::2]).all()
+    assert (np.diff(emit) > 0).all()
+    res1 = plan_chain(bank, det.T_at_level[-1], (256, 256),
+                      det.num_orientations)
+    assert res1 is not None
+    plan1, _ = res1
+    # the duplicated bank costs at most K extra no-op sub-steps beyond
+    # program-boundary packing slack
+    rows_dup = desc.n_programs
+    rows_single = res1[1].n_programs
+    assert rows_dup <= 2 * rows_single + 2
+
+
+def test_chain_extraction_rows_equals_cells(dense_detector):
+    """Three bit-identical implementations must agree slot for slot
+    (incl. n_above) at normal, overflowing-cap and negative (quirk)
+    thresholds: extract_candidates_cells on emit-gathered cells,
+    extract_candidates_chain on the RAW cell rows, and
+    extract_candidates_chain_words on the RAW i32 word rows."""
+    from shape_based_matching_tpu.ops.pallas.chain_plan import ChainPlan
+    from shape_based_matching_tpu.ops.pallas.similarity_pallas import (
+        chain_coarse_rows, chain_coarse_word_rows)
+    from shape_based_matching_tpu.ops.response import build_linear_memories
+    from shape_based_matching_tpu.ops.gradients import (
+        quantized_orientations_gray)
+    from shape_based_matching_tpu.ops.filters import pyr_down_u8
+    from shape_based_matching_tpu.ops.similarity import (
+        extract_candidates_cells, extract_candidates_chain,
+        extract_candidates_chain_words)
+
+    det, templ = dense_detector
+    bank = det._get_banks("bench")[-1]
+    T = det.T_at_level[-1]
+    size_wh = (256, 256)
+    res = plan_chain(bank, T, size_wh, det.num_orientations)
+    assert res is not None
+    plan, desc = res
+    plan = ChainPlan(meta=jnp.asarray(plan.meta),
+                     emit=jnp.asarray(plan.emit))
+
+    scene = synthetic_scene(512, 512, templ, n_instances=2, seed=7)
+    src1 = pyr_down_u8(jnp.asarray(scene))
+    g = quantized_orientations_gray(src1, jnp.float32(30.0))
+    lm = build_linear_memories(g.angle, T)
+
+    rows_cells, pos = chain_coarse_rows(lm, bank, plan, desc, T, size_wh)
+    word_rows, pos_w = chain_coarse_word_rows(lm, bank, plan, desc, T,
+                                              size_wh)
+    assert jnp.array_equal(pos, pos_w)
+    cells = rows_cells[plan.emit]
+    W = size_wh[0] // T
+    M = W * (size_wh[1] // T)
+
+    def check(got, want, thr, cap, label):
+        va, vb = np.asarray(got[4]), np.asarray(want[4])
+        assert np.array_equal(va, vb), (label, thr, cap, "valid")
+        assert int(got[5]) == int(want[5]), (label, thr, cap, "n_above")
+        for a, b, name in zip(got[:4], want[:4], ("k", "x", "y", "sc")):
+            # invalid slots hold implementation-specific garbage
+            assert np.array_equal(np.asarray(a)[va], np.asarray(b)[vb]), (
+                label, thr, cap, name)
+
+    for thr, cap in ((80.0, 256), (60.0, 16), (-5.0, 64)):
+        want = extract_candidates_cells(
+            cells, pos, bank.nfeat, jnp.float32(thr), T, W, cap, M)
+        got_rows = extract_candidates_chain(
+            rows_cells, plan.emit, pos, bank.nfeat, jnp.float32(thr),
+            T, W, cap, M)
+        check(got_rows, want, thr, cap, "rows")
+        got_words = extract_candidates_chain_words(
+            word_rows, plan.emit, pos, bank.nfeat, jnp.float32(thr),
+            desc.unit, T, W, cap, M)
+        check(got_words, want, thr, cap, "words")
 
 
 def test_chain_packed2_wide_bank_cells_exact():

@@ -57,3 +57,25 @@ def test_cells_extraction_equals_map_extraction(rng, case, use_pallas,
         np.testing.assert_array_equal(np.asarray(want[i])[va],
                                       np.asarray(got[i])[va])
     assert int(want[5]) == int(got[5])
+
+    if use_pallas:
+        # the words route (native i32 word tiles, no bitcast view) must
+        # agree too — it's the production TPU path
+        from shape_based_matching_tpu.ops.pallas.similarity_pallas import (
+            coarse_words_pallas)
+        from shape_based_matching_tpu.ops.similarity import (
+            extract_candidates_words)
+
+        res = coarse_words_pallas(lm, bank, T, (w_img, h_img))
+        assert res is not None, "packed route expected for these cases"
+        words, positions_w, unit = res
+        np.testing.assert_array_equal(np.asarray(positions),
+                                      np.asarray(positions_w))
+        goww = extract_candidates_words(words, positions_w, bank.nfeat,
+                                        jnp.float32(thr), unit, T, W, C,
+                                        M2)
+        np.testing.assert_array_equal(va, np.asarray(goww[4]))
+        for i in range(4):
+            np.testing.assert_array_equal(np.asarray(want[i])[va],
+                                          np.asarray(goww[i])[va])
+        assert int(want[5]) == int(goww[5])
