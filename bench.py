@@ -239,6 +239,44 @@ def _measure_production_batch(num_templates: int = 1000,
     return best
 
 
+def _measure_production_device(num_templates: int = 1000,
+                               num_features: int = 128,
+                               iters: int = 20):
+    """Device-complete detect+refine pipeline (ms/frame): the same
+    production flow as _measure_production_batch but via
+    match_refine_batch — packed match output feeds device-side top-k
+    selection and batched sim2 ICP with NO host sync between stages
+    (one block at the end). The gap between this and production_batch
+    is pure host orchestration (Match objects, NMS, transfers)."""
+    import jax
+
+    from shape_based_matching_tpu.models.icp import match_refine_batch
+    from shape_based_matching_tpu.utils.synthetic import (
+        build_rotated_detector, synthetic_scene)
+
+    det, templ_img = build_rotated_detector(num_templates=num_templates,
+                                            num_features=num_features)
+    frame = synthetic_scene(1024, 1024, templ_img, n_instances=4, seed=7)
+    frames = jax.device_put(frame[None])
+    jax.block_until_ready(frames)
+
+    def once():
+        return match_refine_batch(det, frames, 85.0, top_c=32)
+
+    out = once()  # compile
+    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+    n_valid = int(jax.device_get(out["bench"][0]["icp"].valid).sum())
+    assert n_valid > 0, "device pipeline refined no matches"
+
+    def run(n):
+        out = None
+        for _ in range(n):
+            out = once()
+        jax.block_until_ready(jax.tree_util.tree_leaves(out))
+
+    return _min_of(run, iters)
+
+
 def _measure_case1(iters: int = 20):
     """Real-data baseline (SURVEY.md §6): the upstream case1 angle demo —
     361 rotation templates x 128 features, trained by the compiled C++
@@ -294,6 +332,7 @@ _METRICS = {
     "bank_build_10k": lambda: _measure_bank_build(10000),
     "icp_refine": lambda: _measure_icp(64),
     "production_batch": lambda: _measure_production_batch(1000, 128),
+    "production_device": lambda: _measure_production_device(1000, 128),
 }
 
 # Metrics whose failure should not zero the whole artifact: everything
@@ -364,6 +403,8 @@ def main():
     put("icp_refine_64matches_1024x1024_e2e_ms", vals["icp_refine"], 3)
     put("production_batch_1000t_128f_match_icp_ms",
         vals["production_batch"], 3)
+    put("production_device_1000t_128f_match_icp_ms",
+        vals["production_device"], 3)
     if vals["e2e360"] is not None:
         detail["vs_baseline_360"] = round(BASELINE_360_MS / vals["e2e360"],
                                           2)

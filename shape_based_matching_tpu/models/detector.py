@@ -74,6 +74,23 @@ _CAND_BUCKETS = (256, 1024, 4096, 16384, 65536)
 _MERGED_ESCALATED_CAP = 16384
 
 
+@jax.jit
+def _pack_match_results(groups):
+    """Pack per-group match tuples into ONE [n_groups, B, 6, C] i32
+    tensor for a single device->host transfer (float scores bitcast,
+    overflow broadcast along C). Jitted: one dispatch instead of ~6
+    eager ops per group through the device tunnel."""
+    return jnp.stack([
+        jnp.stack([
+            k, x, y,
+            jax.lax.bitcast_convert_type(sc, jnp.int32),
+            valid.astype(jnp.int32),
+            jnp.broadcast_to(overflow.astype(jnp.int32)[:, None], k.shape),
+        ], axis=1)
+        for (k, x, y, sc, valid, overflow) in groups
+    ])
+
+
 def _sort_dedup(matches: list) -> list:
     """sort + dedup (line2Dup.cpp:1143-1145). Deliberate divergence from
     the reference: its operator== ignores template_id, so std::unique
@@ -571,13 +588,19 @@ class Detector:
         caps re-run through the exact escalating path below, so results
         are identical.
         """
-        source = np.asarray(source)
+        # keep device-resident frames on device: np.asarray on a jax
+        # array is a D2H pull and match_batch would push it right back
+        # (~14 ms/MB each way through the dev tunnel)
+        if not isinstance(source, jax.Array):
+            source = np.asarray(source)
         if max_candidates is None:
+            if mask is not None and not isinstance(mask, jax.Array):
+                mask = np.asarray(mask)
             return self.match_batch(source[None], threshold, class_ids,
                                     None if mask is None
-                                    else np.asarray(mask)[None])[0]
-        return self._match_escalating(source, threshold, class_ids, mask,
-                                      max_candidates)
+                                    else mask[None])[0]
+        return self._match_escalating(np.asarray(source), threshold,
+                                      class_ids, mask, max_candidates)
 
     def _match_escalating(self, source, threshold: float, class_ids=None,
                           mask=None,
@@ -696,18 +719,9 @@ class Detector:
 
         # ONE device->host transfer for everything: [n_cls, B, 6, C] i32
         # (float scores bitcast). Per-array pulls would pay the transfer
-        # latency 6x per class.
-        stacked = jnp.stack([
-            jnp.stack([
-                k, x, y,
-                jax.lax.bitcast_convert_type(sc, jnp.int32),
-                valid.astype(jnp.int32),
-                jnp.broadcast_to(overflow.astype(jnp.int32)[:, None],
-                                 k.shape),
-            ], axis=1)
-            for (k, x, y, sc, valid, overflow) in packed.values()
-        ])
-        host = np.asarray(stacked)
+        # latency 6x per class; the stacking itself is jitted so it is
+        # one dispatch, not ~6 eager ops through the tunnel.
+        host = np.asarray(_pack_match_results(tuple(packed.values())))
 
         out: list[list[Match]] = []
         group_ids = list(packed.keys())

@@ -271,11 +271,14 @@ def refine_matches_icp(detector, source, matches, iters: int = 12,
 
     if not matches:
         return []
-    src = jnp.asarray(np.asarray(source))
-    if src.ndim == 3:
-        from ..utils.verify import bgr2gray_u8
+    if isinstance(source, jax.Array) and source.ndim == 2:
+        src = source  # device-resident gray frame: no host round trip
+    else:
+        src = jnp.asarray(np.asarray(source))
+        if src.ndim == 3:
+            from ..utils.verify import bgr2gray_u8
 
-        src = jnp.asarray(bgr2gray_u8(np.asarray(source)))
+            src = jnp.asarray(bgr2gray_u8(np.asarray(source)))
     off, normal, edge, has, subpix = edge_nearest_field(
         src, jnp.float32(detector.weak_threshold), radius)
 
@@ -294,6 +297,9 @@ def refine_matches_icp(detector, source, matches, iters: int = 12,
     res = icp_refine_points(off, normal, has, subpix, jnp.asarray(pts),
                             jnp.asarray(origins), jnp.asarray(pv),
                             iters=iters, radius=radius)
+    # ONE device->host transfer for the whole result struct; per-scalar
+    # float(res.x[i]) pulls pay the tunnel round trip C*7 times over.
+    res = jax.device_get(res)
     out = []
     for i, m in enumerate(matches):
         out.append({
@@ -306,4 +312,85 @@ def refine_matches_icp(detector, source, matches, iters: int = 12,
             "inliers": int(res.inliers[i]),
             "valid": bool(res.valid[i]),
         })
+    return out
+
+
+@partial(jax.jit, static_argnames=("top_c", "iters", "radius",
+                                   "min_inliers"))
+def refine_packed_candidates(off, normal, has, subpix, bank_fx, bank_fy,
+                             bank_valid, k, x, y, sc, valid,
+                             top_c: int = 32, iters: int = 12,
+                             radius: int = 8, min_inliers: int = 8):
+    """Device-side candidate selection + sim2 ICP refine for ONE frame's
+    packed match arrays (the match_batch as_matches=False layout:
+    k/x/y/sc/valid each [C]).
+
+    Selects the top_c highest-score valid candidates with lax.top_k,
+    gathers their level-0 template edge points straight from the packed
+    LevelBank (bank_fx/fy/valid [K, N] — already device-resident), and
+    batch-refines. No Match objects, no host sync: the deployment
+    pipeline (detect -> refine) stays on device end to end.
+
+    Returns (IcpResult [top_c], kk [top_c] selected template ids,
+    ox, oy [top_c] integer match origins, top_sc [top_c] LINE-2D
+    scores). Rows past the number of valid candidates have
+    valid=False and top_sc=-inf.
+    """
+    score = jnp.where(valid, sc, -jnp.inf)
+    top_sc, idx = jax.lax.top_k(score, top_c)
+    kk = k[idx]
+    pts = jnp.stack([bank_fx[kk], bank_fy[kk]], axis=-1).astype(jnp.float32)
+    pv = bank_valid[kk] & jnp.isfinite(top_sc)[:, None]
+    ox, oy = x[idx], y[idx]
+    origins = jnp.stack([ox, oy], axis=-1).astype(jnp.float32)
+    res = icp_refine_points(off, normal, has, subpix, pts, origins, pv,
+                            iters=iters, radius=radius,
+                            min_inliers=min_inliers)
+    res = res._replace(valid=res.valid & jnp.isfinite(top_sc))
+    return res, kk, ox, oy, top_sc
+
+
+def match_refine_batch(detector, frames, threshold: float, class_ids=None,
+                       top_c: int = 32, iters: int = 12, radius: int = 8,
+                       cand_cap: int = 256):
+    """Device-complete detect + subpixel-refine pipeline.
+
+    The production deployment loop (the reference's match -> icp2D
+    branches flow, README.md:8-10) without any host round trip between
+    the stages: LINE-2D match_batch (packed device output), device-side
+    top-k candidate selection, and batched sim2 point-to-plane ICP all
+    stay on device; the caller decides when (whether) to pull results.
+
+    frames: uint8 [B, H, W] gray (numpy or device-resident).
+    Returns {class_id: list over B frames of dicts of DEVICE arrays
+    {icp: IcpResult, k, x, y, score, overflow}} — one jax.device_get of
+    the whole structure is the only transfer a consumer needs.
+    """
+    import numpy as np
+
+    if not isinstance(frames, jax.Array):
+        frames = jnp.asarray(np.asarray(frames))
+    if frames.ndim != 3:
+        raise ValueError("match_refine_batch expects gray [B, H, W] frames")
+    packed = detector.match_batch(frames, threshold, class_ids,
+                                  cand_cap=cand_cap, as_matches=False)
+    wt = jnp.float32(detector.weak_threshold)
+    B = frames.shape[0]
+    # edge fields once per frame (shared by every class); deliberately
+    # NOT folded into one jit with the refine — see edge_nearest_field's
+    # three-program note.
+    fields = [edge_nearest_field(frames[b], wt, radius) for b in range(B)]
+    out = {}
+    for class_id, (k, x, y, sc, valid, overflow) in packed.items():
+        bank0 = detector._get_banks(class_id)[0]
+        per_frame = []
+        for b in range(B):
+            off, normal, _edge, has, subpix = fields[b]
+            res, kk, ox, oy, top_sc = refine_packed_candidates(
+                off, normal, has, subpix, bank0.fx, bank0.fy, bank0.valid,
+                k[b], x[b], y[b], sc[b], valid[b], top_c=top_c,
+                iters=iters, radius=radius)
+            per_frame.append({"icp": res, "k": kk, "x": ox, "y": oy,
+                              "score": top_sc, "overflow": overflow[b]})
+        out[class_id] = per_frame
     return out

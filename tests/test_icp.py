@@ -169,3 +169,39 @@ def test_icp_on_case1_real_data():
     assert abs(top["dtheta_deg"]) < 0.6, top
     assert abs(top["dscale"] - 1.0) < 0.01, top
     assert top["rmse"] < 0.6, top
+
+
+def test_match_refine_batch_device_pipeline():
+    """Device-complete detect+refine (match_refine_batch): top-k
+    selection + ICP with NO host sync between stages must agree with
+    the host-path refine_matches_icp on the same candidates."""
+    import jax
+
+    from shape_based_matching_tpu.models.detector import Match
+    from shape_based_matching_tpu.models.icp import match_refine_batch
+
+    templ_img = synthetic_shape_image(128, seed=6)
+    det = Detector(num_features=63)
+    det.add_template(templ_img, "s", np.full_like(templ_img, 255))
+    scene0 = np.full((256, 256), 12, np.uint8)
+    scene = _warp_into(scene0, templ_img, 2.5, 1.02, (61.0, 47.0))
+
+    out = match_refine_batch(det, scene[None], 55.0, top_c=8)
+    res = jax.device_get(out["s"][0])
+    icp = res["icp"]
+    assert not bool(res["overflow"])
+    sel = np.isfinite(res["score"])
+    assert sel.any()
+    assert np.asarray(icp.valid)[sel].any()
+    # rows past the candidate count are flagged invalid
+    assert not np.asarray(icp.valid)[~sel].any()
+
+    for i in np.nonzero(sel)[0][:3]:
+        m = Match(int(res["x"][i]), int(res["y"][i]),
+                  float(res["score"][i]), "s", int(res["k"][i]))
+        host = refine_matches_icp(det, scene, [m])[0]
+        assert host["valid"] == bool(np.asarray(icp.valid)[i])
+        assert abs(host["dtheta_deg"] - float(icp.dtheta_deg[i])) < 1e-3
+        assert abs(host["dscale"] - float(icp.dscale[i])) < 1e-4
+        assert abs(host["tx"] - float(icp.tx[i])) < 1e-2
+        assert abs(host["ty"] - float(icp.ty[i])) < 1e-2
