@@ -273,15 +273,26 @@ def _match_batch_class(lms, banks, threshold, T: tuple, levels: int,
 
 @partial(jax.jit, static_argnames=("gray", "has_mask", "n_ori",
                                    "patch_2843", "cap"))
-def _batch_train_level(srcs, masks, weak_threshold, gray: bool,
-                       has_mask: bool, n_ori: int, patch_2843: bool,
-                       cap: int):
+def _batch_train_level(srcs, masks, weak_threshold, strong_sq_lo,
+                       gray: bool, has_mask: bool, n_ori: int,
+                       patch_2843: bool, cap: int):
     """Device half of a training sweep for ONE pyramid level of a frame
     chunk: gradients -> quantize -> ties-allowed 5x5 local max ->
-    mask-eligibility -> row-major compaction of eligible pixels, with
-    the magnitude/quantized/theta values gathered at those pixels.
-    Returns per frame: (idx [cap], got [cap], n_eligible, mag_v, quant_v,
-    theta_v) — only O(cap) data crosses to the host."""
+    mask-eligibility, then TWO compact host-bound products per frame:
+
+    * the full eligible bitmap, bit-packed 8 pixels/byte (np.unpackbits
+      'big' order) — the greedy acceptance scan needs every eligible
+      pixel's GEOMETRY (any accepted max suppresses later neighbors,
+      including zero-magnitude flat-region ties), but only geometry;
+    * row-major-compacted indices + magnitude/quantized/theta values at
+      STRONG candidate pixels only (eligible & mag above the strong
+      threshold & nonzero orientation — the only pixels whose VALUES the
+      candidate list can ever need, line2Dup.cpp:518-521). strong_sq_lo
+      is an f32 LOWER bound of strong_threshold^2 (the host re-applies
+      the exact float comparison), so borderline pixels are kept.
+
+    Returns (packed_elig [h, wpad/8] u8, idx [cap], got [cap], n_strong,
+    mag_v, quant_v, theta_v) per frame — tens of KB, never the planes."""
     from ..ops.filters import erode3_u8
     from ..ops.similarity import compact_indices
     from ..models.training import local_max_map
@@ -296,14 +307,76 @@ def _batch_train_level(srcs, masks, weak_threshold, gray: bool,
         lmax = local_max_map(grads.magnitude)
         if has_mask:
             lmax &= erode3_u8(msk) > 0
-        hw = lmax.shape[0] * lmax.shape[1]
-        idx, n = compact_indices(lmax.reshape(-1), cap)
+        h, w = lmax.shape
+        hw = h * w
+        wp = -(-w // 8) * 8
+        bits = jnp.pad(lmax, ((0, 0), (0, wp - w))).reshape(h, wp // 8, 8)
+        weights = (1 << (7 - jnp.arange(8, dtype=jnp.int32)))
+        packed = jnp.sum(bits.astype(jnp.int32) * weights,
+                         axis=-1).astype(jnp.uint8)
+        strong = (lmax & (grads.magnitude > strong_sq_lo)
+                  & (grads.angle > 0))
+        idx, n = compact_indices(strong.reshape(-1), cap)
         idx_safe = jnp.minimum(idx, hw - 1)
         got = idx < hw
         mag_v = grads.magnitude.reshape(-1)[idx_safe]
         quant_v = grads.angle.reshape(-1)[idx_safe].astype(jnp.int32)
         theta_v = grads.angle_ori.reshape(-1)[idx_safe]
-        return idx_safe, got, n, mag_v, quant_v, theta_v
+        return packed, idx_safe, got, n, mag_v, quant_v, theta_v
+
+    return jax.vmap(one, in_axes=(0, 0 if has_mask else None))(srcs, masks)
+
+
+@partial(jax.jit, static_argnames=("gray", "has_mask", "n_ori",
+                                   "patch_2843"))
+def _batch_train_counts(srcs, masks, weak_threshold, gray: bool,
+                        has_mask: bool, n_ori: int, patch_2843: bool):
+    """Eligible-pixel count per frame ([B] i32) — the cheap routing
+    probe for add_templates: decides compacted-vs-planes per chunk
+    before any heavy training program is dispatched."""
+    from ..ops.filters import erode3_u8
+    from ..models.training import local_max_map
+
+    def one(src, msk):
+        if gray:
+            grads = quantized_orientations_gray(
+                src, weak_threshold, n_ori, patch_2843)
+        else:
+            grads = quantized_orientations_color(
+                src, weak_threshold, n_ori, patch_2843)
+        lmax = local_max_map(grads.magnitude)
+        if has_mask:
+            lmax &= erode3_u8(msk) > 0
+        return jnp.sum(lmax, dtype=jnp.int32)
+
+    return jax.vmap(one, in_axes=(0, 0 if has_mask else None))(srcs, masks)
+
+
+@partial(jax.jit, static_argnames=("gray", "has_mask", "n_ori",
+                                   "patch_2843"))
+def _batch_train_planes(srcs, masks, weak_threshold, gray: bool,
+                        has_mask: bool, n_ori: int, patch_2843: bool):
+    """Uncompacted twin of _batch_train_level: full (eligible, magnitude,
+    quantized, theta) planes for a frame chunk. The overflow path of
+    add_templates — mask-less frames routinely have tens of thousands of
+    eligible pixels (flat regions tie in the 5x5 local max), so the
+    O(cap) compaction overflows; pulling the planes for the WHOLE chunk
+    in one program is exact and costs one transfer, not per-frame
+    sequential device round trips."""
+    from ..ops.filters import erode3_u8
+    from ..models.training import local_max_map
+
+    def one(src, msk):
+        if gray:
+            grads = quantized_orientations_gray(
+                src, weak_threshold, n_ori, patch_2843)
+        else:
+            grads = quantized_orientations_color(
+                src, weak_threshold, n_ori, patch_2843)
+        lmax = local_max_map(grads.magnitude)
+        if has_mask:
+            lmax &= erode3_u8(msk) > 0
+        return lmax, grads.magnitude, grads.angle, grads.angle_ori
 
     return jax.vmap(one, in_axes=(0, 0 if has_mask else None))(srcs, masks)
 
@@ -446,7 +519,9 @@ class Detector:
 
         Returns one template id per frame (-1 where extraction failed,
         matching add_template). Frames whose eligible-pixel count
-        overflows `cand_cap` re-run through exact add_template (rare).
+        overflows `cand_cap` (mask-less frames routinely do) re-run
+        through a batched full-planes program — still one transfer per
+        chunk, never per-frame sequential round trips.
         `sscales`/`orientations`/`tag_field_ids` (optional per-frame
         sequences) and `fiducial_src` carry the fork metadata exactly as
         per-call add_template args would."""
@@ -461,7 +536,20 @@ class Detector:
         masks = np.asarray(object_masks) if has_mask else None
         nfeat = int(num_features) if num_features > 0 else self.num_features
 
-        # dispatch every chunk x level ASYNCHRONOUSLY (no host sync)
+        # dispatch every chunk x level ASYNCHRONOUSLY (no host sync):
+        # each program hands the host a bit-packed ELIGIBLE bitmap (the
+        # acceptance scan needs every eligible pixel's geometry — any
+        # accepted max suppresses later neighbors, including the
+        # zero-magnitude flat-region ties mask-less frames are full of)
+        # plus values compacted at STRONG candidate pixels only — tens
+        # of KB per frame, never the gradient planes.
+        zmask = jnp.zeros((1, 1, 1), jnp.uint8)
+        thr2 = float(self.strong_threshold) ** 2
+        # f32 lower bound (2 ulps) of the f64 threshold: the device
+        # pre-filter keeps borderline pixels; the host re-applies the
+        # exact float comparison (line2Dup.cpp:518 `score > threshold`)
+        strong_lo = np.nextafter(
+            np.nextafter(np.float32(thr2), np.float32(0)), np.float32(0))
         pending = []  # [(b0, b1, [per-level device outputs])]
         for b0 in range(0, B, chunk):
             b1 = min(b0 + chunk, B)
@@ -477,9 +565,9 @@ class Detector:
                             out_hw=(src.shape[1], src.shape[2])))(msk)
                 levels_out.append(
                     (_batch_train_level(
-                        src, msk if has_mask else jnp.zeros((1, 1, 1),
-                                                            jnp.uint8),
-                        jnp.float32(self.weak_threshold), gray, has_mask,
+                        src, msk if has_mask else zmask,
+                        jnp.float32(self.weak_threshold),
+                        jnp.float32(strong_lo), gray, has_mask,
                         self.num_orientations, self.patch_2843, cand_cap),
                      (src.shape[1], src.shape[2])))
             pending.append((b0, b1, levels_out))
@@ -490,39 +578,70 @@ class Detector:
             # one D2H per chunk x level (device already raced ahead)
             host_levels = [(tuple(np.asarray(a) for a in outs), hw)
                            for outs, hw in levels_out]
+            # strong-candidate overflow (needs > cand_cap strong pixels
+            # per frame — pathological): full-planes program for the
+            # chunk, one transfer, bit-identical
+            planes_levels = None
+            if any(int(outs[3].max()) > cand_cap for outs, _ in host_levels):
+                src = jnp.asarray(sources[b0:b1])
+                msk = jnp.asarray(masks[b0:b1]) if has_mask else None
+                planes_levels = []
+                for l in range(self.pyramid_levels):
+                    if l > 0:
+                        src = jax.vmap(pyr_down_u8)(src)
+                        if has_mask:
+                            msk = jax.vmap(partial(
+                                resize_nearest,
+                                out_hw=(src.shape[1], src.shape[2])))(msk)
+                    outs = _batch_train_planes(
+                        src, msk if has_mask else zmask,
+                        jnp.float32(self.weak_threshold), gray, has_mask,
+                        self.num_orientations, self.patch_2843)
+                    planes_levels.append(
+                        (tuple(np.asarray(a) for a in outs),
+                         (src.shape[1], src.shape[2])))
             for bi in range(b1 - b0):
                 b = b0 + bi
                 tp: TemplatePyramid = []
                 level_nfeat = nfeat
-                for l, ((idx, got, n_elig, mag_v, quant_v, theta_v),
-                        (h, w)) in enumerate(host_levels):
-                    if l > 0:
-                        level_nfeat //= 2  # line2Dup.cpp:427
-                    if int(n_elig[bi]) > cand_cap:
-                        tp = None  # overflow -> exact sequential fallback
-                        break
-                    m = got[bi]
-                    ys = idx[bi][m] // w
-                    xs = idx[bi][m] % w
-                    templ = training.extract_template_host(
-                        h, w, ys, xs, mag_v[bi][m], quant_v[bi][m],
-                        theta_v[bi][m], level_nfeat,
-                        self.strong_threshold, l)
-                    if templ is None:
-                        tp = []
-                        break
-                    tp.append(templ)
-                if tp is None:
-                    ids[b] = self.add_template(
-                        sources[b], class_id,
-                        masks[b] if has_mask else None,
-                        sscale=meta_of(sscales, b, -1.0),
-                        orientation=meta_of(orientations, b, -1.0),
-                        tag_field_id=(int(tag_field_ids[b])
-                                      if tag_field_ids is not None else 0),
-                        fiducial_src=fiducial_src,
-                        num_features=num_features)
-                    continue
+                if planes_levels is not None:
+                    for l, ((elig, mag, quant, theta),
+                            (h, w)) in enumerate(planes_levels):
+                        if l > 0:
+                            level_nfeat //= 2  # line2Dup.cpp:427
+                        ys, xs = np.nonzero(elig[bi])
+                        templ = training.extract_template_host(
+                            h, w, ys, xs, mag[bi][ys, xs],
+                            quant[bi][ys, xs], theta[bi][ys, xs],
+                            level_nfeat, self.strong_threshold, l)
+                        if templ is None:
+                            tp = []
+                            break
+                        tp.append(templ)
+                else:
+                    for l, ((packed, idx, got, n_str, mag_v, quant_v,
+                             theta_v), (h, w)) in enumerate(host_levels):
+                        if l > 0:
+                            level_nfeat //= 2  # line2Dup.cpp:427
+                        elig = np.unpackbits(
+                            packed[bi], axis=-1)[:, :w].astype(bool)
+                        ys, xs = np.nonzero(elig)
+                        flags = training.greedy_accept(h, w, ys, xs)
+                        acc = np.zeros((h, w), bool)
+                        acc[ys[flags], xs[flags]] = True
+                        m = got[bi]
+                        si = idx[bi][m]
+                        sy = si // w
+                        sx = si % w
+                        keep = acc[sy, sx]
+                        templ = training.template_from_strong(
+                            sx[keep], sy[keep], mag_v[bi][m][keep],
+                            quant_v[bi][m][keep], theta_v[bi][m][keep],
+                            level_nfeat, self.strong_threshold, l)
+                        if templ is None:
+                            tp = []
+                            break
+                        tp.append(templ)
                 if not tp:
                     continue
                 for templ in tp:

@@ -82,53 +82,61 @@ def extract_template(grads: QuantizedGradients, mask: np.ndarray | None,
         angle_ori[ys, xs], num_features, strong_threshold, pyramid_level)
 
 
-def extract_template_host(h: int, w: int, ys, xs, mag_v, quant_v, theta_v,
-                          num_features: int, strong_threshold: float,
-                          pyramid_level: int) -> Template | None:
-    """Host half of extract_template: row-major greedy acceptance +
-    candidate filter + stable sort + scattered selection, given the
-    ROW-MAJOR-ordered eligible pixel list and the magnitude/quantized/
-    theta values at those pixels (the device half's outputs)."""
-    # Row-major greedy acceptance with occupancy grid (exact C++ semantics).
-    # Native C++ fast path when available; identical pure-Python fallback.
+def greedy_accept(h: int, w: int, ys, xs) -> np.ndarray:
+    """Row-major greedy acceptance flags (bool [n]) over the ROW-MAJOR
+    eligible pixel list — exact C++ semantics (line2Dup.cpp:466-511): a
+    pixel is accepted iff no previously accepted pixel lies within
+    Chebyshev distance 2. Native C++ fast path; identical pure-Python
+    fallback."""
     from ..native import load as _load_native
 
+    n = len(ys)
+    if n == 0:
+        return np.zeros(0, bool)
     lib = _load_native()
-    if lib is not None and len(ys):
+    if lib is not None:
         import ctypes
 
         ys32 = np.ascontiguousarray(ys, np.int32)
         xs32 = np.ascontiguousarray(xs, np.int32)
-        flags = np.zeros(len(ys), np.uint8)
+        flags = np.zeros(n, np.uint8)
         lib.sbm_greedy_accept(
-            h, w, len(ys),
+            h, w, n,
             ys32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             xs32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-        acc_idx = [i for i, f in enumerate(flags) if f]
-    else:
-        accepted = np.zeros((h, w), dtype=bool)
-        acc_idx = []
-        for i, (r, c) in enumerate(zip(np.asarray(ys).tolist(),
-                                       np.asarray(xs).tolist())):
-            r0, r1 = max(0, r - 2), min(h, r + 3)
-            c0, c1 = max(0, c - 2), min(w, c + 3)
-            if accepted[r0:r1, c0:c1].any():
-                continue
-            accepted[r, c] = True
-            acc_idx.append(i)
+        return flags.astype(bool)
+    accepted = np.zeros((h, w), dtype=bool)
+    flags = np.zeros(n, bool)
+    for i, (r, c) in enumerate(zip(np.asarray(ys).tolist(),
+                                   np.asarray(xs).tolist())):
+        r0, r1 = max(0, r - 2), min(h, r + 3)
+        c0, c1 = max(0, c - 2), min(w, c + 3)
+        if accepted[r0:r1, c0:c1].any():
+            continue
+        accepted[r, c] = True
+        flags[i] = True
+    return flags
 
+
+def template_from_strong(xs, ys, mag_v, quant_v, theta_v,
+                         num_features: int, strong_threshold: float,
+                         pyramid_level: int) -> Template | None:
+    """Tail of extractTemplate given the ACCEPTED pixels in row-major
+    order: exact float strong-threshold filter, stable score sort,
+    scattered selection (line2Dup.cpp:513-539)."""
     threshold_sq = float(strong_threshold) ** 2
-    candidates = []  # scan order == row-major acceptance order
-    for i in acc_idx:
-        score = float(mag_v[i])
-        q = int(quant_v[i])
-        if score > threshold_sq and q > 0:
+    candidates = []  # row-major acceptance order (pre-sort tie order)
+    for x, y, s, q, t in zip(np.asarray(xs).tolist(),
+                             np.asarray(ys).tolist(),
+                             np.asarray(mag_v).tolist(),
+                             np.asarray(quant_v).tolist(),
+                             np.asarray(theta_v).tolist()):
+        q = int(q)
+        if s > threshold_sq and q > 0:
             candidates.append(
-                Candidate(x=int(xs[i]), y=int(ys[i]),
-                          label=q.bit_length() - 1, score=score,
-                          theta=float(theta_v[i]))
-            )
+                Candidate(x=int(x), y=int(y), label=q.bit_length() - 1,
+                          score=float(s), theta=float(t)))
 
     if len(candidates) < num_features and len(candidates) <= 4:
         return None
@@ -140,6 +148,22 @@ def extract_template_host(h: int, w: int, ys, xs, mag_v, quant_v, theta_v,
     templ = Template(width=-1, height=-1, pyramid_level=pyramid_level)
     templ.features = [Feature(c.x, c.y, c.label, c.theta) for c in feats]
     return templ
+
+
+def extract_template_host(h: int, w: int, ys, xs, mag_v, quant_v, theta_v,
+                          num_features: int, strong_threshold: float,
+                          pyramid_level: int) -> Template | None:
+    """Host half of extract_template: row-major greedy acceptance +
+    candidate filter + stable sort + scattered selection, given the
+    ROW-MAJOR-ordered eligible pixel list and the magnitude/quantized/
+    theta values at those pixels (the device half's outputs)."""
+    ys = np.asarray(ys)
+    xs = np.asarray(xs)
+    sel = np.nonzero(greedy_accept(h, w, ys, xs))[0]
+    return template_from_strong(
+        xs[sel], ys[sel], np.asarray(mag_v)[sel], np.asarray(quant_v)[sel],
+        np.asarray(theta_v)[sel], num_features, strong_threshold,
+        pyramid_level)
 
 
 class Candidate:
