@@ -53,12 +53,13 @@ class ChainDesc(NamedTuple):
     m_pad: int      # padded cell count per plane
     n_programs: int
     n_ori: int
+    u_out: int      # output tile rows per program (max templates/program)
 
 
 class ChainPlan(NamedTuple):
     """Device half (a jit-traceable pytree)."""
-    meta: object    # i32 [P, 6, CHAIN_U, CHAIN_S]
-    emit: object    # i32 [K] row index into the flattened [P*U] outputs
+    meta: object    # i32 [P, 7, CHAIN_U, CHAIN_S]
+    emit: object    # i32 [K] row index into the flattened [P*u_out] outputs
 
 
 def chain_enabled() -> bool:
@@ -119,17 +120,19 @@ def plan_chain(bank, T: int, size_wh, n_ori: int,
 
     S, U_max = CHAIN_S, CHAIN_U
     programs = []
-    emit = np.zeros(K, np.int64)
+    emit_pl = np.zeros((K, 2), np.int64)  # (program, local template idx)
     cur: list = []
     prev = None
     live_slots = 0
+    n_local = 0  # templates already completed in the current program
 
     def flush():
-        nonlocal cur, prev
+        nonlocal cur, prev, n_local
         if cur:
             programs.append(cur)
         cur = []
         prev = None
+        n_local = 0
 
     for k in range(K):
         fk = feats(k)
@@ -165,8 +168,10 @@ def plan_chain(bank, T: int, size_wh, n_ori: int,
         live_slots += len(slots)
         slots = slots + [PAD] * (need * S - len(slots))
         for u in range(need):
-            cur.append((keep0 if u == 0 else 1, slots[u * S:(u + 1) * S]))
-        emit[k] = len(programs) * U_max + len(cur) - 1
+            cur.append((keep0 if u == 0 else 1, n_local,
+                        slots[u * S:(u + 1) * S]))
+        emit_pl[k] = (len(programs), n_local)
+        n_local += 1
         prev = fk
     flush()
 
@@ -178,25 +183,40 @@ def plan_chain(bank, T: int, size_wh, n_ori: int,
     plain_cost = int(nf.sum())
     if plain_cost == 0 or chain_cost > max_ratio * plain_cost:
         return None
+
+    # COMPACT output: every sub-step stores the running tile to its
+    # template's own output row (meta row 6) — later sub-steps of the
+    # same template overwrite earlier ones, so the final value at row
+    # (p, local) is exactly that template's finished tile. The output
+    # shrinks from P*CHAIN_U sub-step rows to P*u_out template rows
+    # (u_out = max templates per program), halving both the kernel's
+    # output DMA and the extraction scan on dense 2-sub-step banks.
+    u_out = max(1 + max(loc for _, loc, _ in prog) for prog in programs)
+    emit = emit_pl[:, 0] * u_out + emit_pl[:, 1]
     assert (np.diff(emit) > 0).all(), "emit rows must strictly increase"
 
-    meta = np.zeros((P, 6, U_max, S), np.int32)
+    meta = np.zeros((P, 7, U_max, S), np.int32)
     meta[:, 0] = zp
     meta[:, 3] = 128
     meta[:, 4] = 1
     meta[:, 5, :, 0] = 1     # trailing no-op sub-steps keep the acc
     for p, prog in enumerate(programs):
-        for u, (keep, slots) in enumerate(prog):
+        for u, (keep, loc, slots) in enumerate(prog):
             meta[p, 5, u, 0] = keep
+            meta[p, 6, u, 0] = loc
             for sl, (i_, b_, a_, m_, g_) in enumerate(slots):
                 meta[p, 0, u, sl] = i_
                 meta[p, 1, u, sl] = b_
                 meta[p, 2, u, sl] = a_
                 meta[p, 3, u, sl] = m_
                 meta[p, 4, u, sl] = g_
+        # trailing no-op sub-steps re-store the LAST template's row
+        # (keep=1 + all-PAD slots leave the tile unchanged) — they must
+        # not clobber row 0
+        meta[p, 6, len(prog):, 0] = prog[-1][1]
     return (ChainPlan(meta=meta, emit=emit.astype(np.int32)),
             ChainDesc(unit=unit, rows=rows, m_pad=M_pad, n_programs=P,
-                      n_ori=n_ori))
+                      n_ori=n_ori, u_out=u_out))
 
 
 def plan_chain_sharded(bank, n_shards: int, T: int, size_wh, n_ori: int,
@@ -229,10 +249,11 @@ def plan_chain_sharded(bank, n_shards: int, T: int, size_wh, n_ori: int,
             desc0 = desc
         elif desc[:3] != desc0[:3]:   # unit/rows/m_pad must agree
             return None
-        shard_plans.append(plan)
-    P_max = max(p.meta.shape[0] for p in shard_plans)
+        shard_plans.append((plan, desc))
+    P_max = max(p.meta.shape[0] for p, _ in shard_plans)
+    u_out = max(d.u_out for _, d in shard_plans)
     metas, emits = [], []
-    for plan in shard_plans:
+    for plan, desc in shard_plans:
         meta = plan.meta
         if meta.shape[0] < P_max:
             padp = np.zeros((P_max - meta.shape[0],) + meta.shape[1:],
@@ -245,8 +266,12 @@ def plan_chain_sharded(bank, n_shards: int, T: int, size_wh, n_ori: int,
             padp[:, 5, :, 0] = 1
             meta = np.concatenate([meta, padp])
         metas.append(meta)
-        emits.append(plan.emit)
+        # re-base emit rows onto the COMMON u_out (the per-shard local
+        # template indices are unchanged; only the program stride moves)
+        p_of = plan.emit // desc.u_out
+        loc_of = plan.emit % desc.u_out
+        emits.append((p_of * u_out + loc_of).astype(np.int32))
     return (np.concatenate(metas), np.concatenate(emits),
             ChainDesc(unit=desc0.unit, rows=desc0.rows,
                       m_pad=desc0.m_pad, n_programs=P_max,
-                      n_ori=desc0.n_ori))
+                      n_ori=desc0.n_ori, u_out=u_out))

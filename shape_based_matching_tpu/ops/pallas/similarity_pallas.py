@@ -444,7 +444,14 @@ def _make_chain_kernel(U: int, S: int):
                     nxt.append(vals[-1])
                 vals = nxt
             acc = acc * keep + vals[0]
-            out_ref[0, u] = acc
+            # COMPACT store: every sub-step writes the running tile to
+            # its template's own output row (meta row 6); later
+            # sub-steps of the same template overwrite earlier ones, so
+            # the final value at that row is the finished tile. Output
+            # is [u_out = max templates/program] rows, not [U] sub-step
+            # rows — ~2x less output DMA + extraction scan on dense
+            # 2-sub-step banks.
+            out_ref[0, meta_ref[0, 6, u, 0]] = acc
 
     return kernel
 
@@ -510,7 +517,8 @@ def _coarse_words_pallas(lm, bank: LevelBank, T: int, size_wh, unit: int,
 def chain_coarse_word_rows(lm: jnp.ndarray, bank: LevelBank, plan, desc,
                            T: int, size_wh,
                            interpret: bool | None = None):
-    """Chain kernel's RAW word tiles [P*U, rows, 128] i32 — no emit
+    """Chain kernel's RAW word tiles [P*u_out, rows, 128] i32 — one
+    COMPACT row per template slot (plus per-program padding), no emit
     gather, no bitcast. Feed to extract_candidates_chain_words."""
     return _chain_word_rows(lm, bank, plan.meta, T, size_wh, desc,
                             _resolve_interpret(interpret))
@@ -558,22 +566,22 @@ def _chain_word_rows(lm, bank, plan_meta, T: int, size_wh, desc,
         _make_chain_kernel(CHAIN_U, CHAIN_S),
         grid=(P,),
         in_specs=[
-            pl.BlockSpec((1, 6, CHAIN_U, CHAIN_S),
+            pl.BlockSpec((1, 7, CHAIN_U, CHAIN_S),
                          lambda k: (k, 0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(lmp.shape, lambda k: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, CHAIN_U, desc.rows, 128),
+        out_specs=pl.BlockSpec((1, desc.u_out, desc.rows, 128),
                                lambda k: (k, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, CHAIN_U, desc.rows, 128),
+        out_shape=jax.ShapeDtypeStruct((P, desc.u_out, desc.rows, 128),
                                        jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(plan_meta, lmp)
-    return (out.reshape(P * CHAIN_U, desc.rows, 128),
+    return (out.reshape(P * desc.u_out, desc.rows, 128),
             _positions(bank, T, W, H))
 
 

@@ -180,7 +180,7 @@ def multichip_match_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
 
     `chain_desc`: static half of a plan_chain_sharded result. When set,
     the step takes TWO extra trailing operands — chain_meta
-    [n_templ*P_max, 6, U, S] and chain_emit [n_templ*K_loc], both
+    [n_templ*P_max, 7, U, S] and chain_emit [n_templ*K_loc], both
     sharded P('templ') — and each shard scores its bank slice through
     the delta-chain kernel (bit-identical, dense banks only).
     """

@@ -242,10 +242,10 @@ def test_plan_chain_sharded_shapes(dense_detector):
     assert res is not None
     meta, emit, desc = res
     assert meta.shape[0] == n_shards * desc.n_programs
-    assert meta.shape[1:] == (6, CHAIN_U, CHAIN_S)
+    assert meta.shape[1:] == (7, CHAIN_U, CHAIN_S)
     assert emit.shape == (1500,)
     # every shard's emit rows stay inside ITS padded program block
-    assert emit.max() < desc.n_programs * CHAIN_U
+    assert emit.max() < desc.n_programs * desc.u_out
     # the whole-bank plan and the sharded plan agree on the packing
     plan0, desc0 = plan_chain(bank, T, (256, 256), det.num_orientations)
     assert (desc.unit, desc.rows, desc.m_pad) == (
