@@ -28,6 +28,7 @@ from ..ops.response import build_linear_memories
 from ..ops.similarity import (LevelBank, coarse_cells_dispatch,
                               coarse_extract_dispatch,
                               coarse_similarity_dispatch,
+                              counted_extract_enabled,
                               distinct_templates, extract_candidates_cells,
                               extract_candidates_chain_words,
                               extract_candidates_words, gather_bank,
@@ -997,7 +998,20 @@ class Detector:
         nfeat_b = bank_last.nfeat
         extract = None
         if use_pallas and words_extract_enabled():
-            if chain_plan is not None:
+            if chain_plan is not None and counted_extract_enabled():
+                from ..ops.pallas.similarity_pallas import (
+                    chain_coarse_word_rows_counted)
+                from ..ops.similarity import (
+                    _rmin_for_threshold, extract_candidates_chain_counted)
+
+                rmin, _ = _rmin_for_threshold(nfeat_b, thr)
+                words, kcnt, positions = chain_coarse_word_rows_counted(
+                    lm_last, bank_last, chain_plan, chain_desc, t_last,
+                    size_last, rmin)
+                extract = lambda cap: extract_candidates_chain_counted(
+                    words, kcnt, chain_plan.emit, positions, nfeat_b,
+                    thr, chain_desc.unit, t_last, w_last, cap, M)
+            elif chain_plan is not None:
                 from ..ops.pallas.similarity_pallas import (
                     chain_coarse_word_rows)
 
@@ -1007,6 +1021,21 @@ class Detector:
                 extract = lambda cap: extract_candidates_chain_words(
                     words, chain_plan.emit, positions, nfeat_b, thr,
                     chain_desc.unit, t_last, w_last, cap, M)
+            elif counted_extract_enabled():
+                from ..ops.pallas.similarity_pallas import (
+                    coarse_words_pallas_counted)
+                from ..ops.similarity import (
+                    _rmin_for_threshold, extract_candidates_chain_counted)
+
+                rmin, _ = _rmin_for_threshold(nfeat_b, thr)
+                resc = coarse_words_pallas_counted(
+                    lm_last, bank_last, t_last, size_last, rmin)
+                if resc is not None:
+                    words, kcnt, positions, unit = resc
+                    emit_id = jnp.arange(K, dtype=jnp.int32)
+                    extract = lambda cap: extract_candidates_chain_counted(
+                        words, kcnt, emit_id, positions, nfeat_b, thr,
+                        unit, t_last, w_last, cap, M)
             else:
                 from ..ops.pallas.similarity_pallas import (
                     coarse_words_pallas)

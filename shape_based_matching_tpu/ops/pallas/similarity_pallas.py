@@ -53,7 +53,8 @@ def _resolve_interpret(interpret):
 
 
 def _make_rotate_kernel(unroll: int, widen: bool = False,
-                        stitch: bool = False, group: int = 1):
+                        stitch: bool = False, group: int = 1,
+                        counted=None):
     """Factory for the rotate-accumulate feature loop shared by every
     coarse-kernel variant.
 
@@ -84,13 +85,30 @@ def _make_rotate_kernel(unroll: int, widen: bool = False,
     `widen` converts the u8 plane to i32 before rolling (Mosaic dynamic
     rotates need 32-bit lanes); `stitch` reassembles a byte-phase-shifted
     word from the rolled word pair (packed layout without preshifted
-    copies, see _coarse_similarity_pallas)."""
+    copies, see _coarse_similarity_pallas).
 
-    def kernel(meta_ref, lm_ref, out_ref):
+    `counted=(unit, M)` adds the per-template threshold-count epilogue
+    of the chain kernel (see _make_chain_kernel): count the finished
+    tile's cells with `j < pos AND cell >= rmin` (thr SMEM input
+    [group, 2]) into [128] lane partials (cnt VMEM output [group, 128];
+    the lane sum is a tiny XLA pass). Replaces the XLA count pass over
+    the whole words array in extract_candidates_words."""
+
+    def kernel(meta_ref, *refs):
+        if counted:
+            unit_c, _M_true = counted
+            thr_ref, lm_ref, out_ref, cnt_ref = refs
+        else:
+            lm_ref, out_ref = refs
         rows = lm_ref.shape[1]
         lanes = lm_ref.shape[2]
 
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+        if counted:
+            bits_c = 32 // unit_c
+            vmask_c = (1 << bits_c) - 1
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+            jbase = (row_i * lanes + col) * unit_c
 
         for g in range(group):
             n_feats = meta_ref[g, 0, meta_ref.shape[2] - 1]
@@ -138,6 +156,15 @@ def _make_rotate_kernel(unroll: int, widen: bool = False,
                 0, (n_feats + unroll - 1) // unroll, body,
                 jnp.zeros((rows, lanes), jnp.int32))
             out_ref[g] = acc
+            if counted:
+                pos = thr_ref[0, g, 0]
+                rmin = thr_ref[0, g, 1]
+                c = jnp.zeros((rows, lanes), jnp.int32)
+                for s in range(unit_c):
+                    v = (acc >> (bits_c * s)) & vmask_c
+                    c += ((jbase < pos - s)
+                          & (v >= rmin)).astype(jnp.int32)
+                cnt_ref[0, g] = jnp.sum(c, axis=0)
 
     return kernel
 
@@ -181,31 +208,57 @@ def _pack_copies(flat, C: int, unit: int, rows_w: int):
 
 
 def _run_rotate_kernel(meta, lm_in, rows, kern_args, interpret,
-                       vmem_mb=100):
+                       vmem_mb=100, thr=None, counted=None):
     """Shared pallas_call for every coarse variant: pads K to a group
     multiple (pad rows carry count 0 -> zero kernel work) and scores
-    _COARSE_GROUP templates per grid program."""
+    _COARSE_GROUP templates per grid program.
+
+    With `thr` ([K, 2] i32 (pos, rmin) rows) and `counted=(unit, M)`,
+    the kernel also emits per-template [128] lane-partial threshold
+    counts; returns (out[:K], cnt[:K])."""
     K, R, N = meta.shape
     G = min(_COARSE_GROUP, K)
     Kp = -(-K // G) * G
     meta = jnp.pad(meta, ((0, Kp - K), (0, 0), (0, 0)))
-    out = pl.pallas_call(
-        _make_rotate_kernel(*kern_args, group=G),
+    in_specs = [
+        pl.BlockSpec((G, R, N), lambda k: (k, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(lm_in.shape, lambda k: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((G, rows, 128), lambda k: (k, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((Kp, rows, 128), jnp.int32)
+    operands = [meta, lm_in]
+    if counted is not None:
+        # pad rows: rmin = 1<<30 never passes -> count 0 on the zero acc
+        thr = jnp.concatenate(
+            [thr, jnp.tile(jnp.asarray([[0, 1 << 30]], jnp.int32),
+                           (Kp - K, 1))]) if Kp != K else thr
+        # 3-D (programs, G, .) blocks: Mosaic wants the block's last two
+        # dims to divide (8, 128) or equal the array's
+        in_specs.insert(1, pl.BlockSpec((1, G, 2), lambda k: (k, 0, 0),
+                                        memory_space=pltpu.SMEM))
+        operands.insert(1, thr.reshape(Kp // G, G, 2))
+        out_spec = [out_spec,
+                    pl.BlockSpec((1, G, 128), lambda k: (k, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((Kp // G, G, 128), jnp.int32)]
+    res = pl.pallas_call(
+        _make_rotate_kernel(*kern_args, group=G, counted=counted),
         grid=(Kp // G,),
-        in_specs=[
-            pl.BlockSpec((G, R, N), lambda k: (k, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(lm_in.shape, lambda k: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((G, rows, 128), lambda k: (k, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Kp, rows, 128), jnp.int32),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb * 2**20),
         interpret=interpret,
-    )(meta, lm_in)
-    return out[:K]
+    )(*operands)
+    if counted is not None:
+        out, cnt = res
+        return out[:K], cnt.reshape(Kp, 128)[:K]
+    return res[:K]
 
 
 def _unroll_for(rows: int, leaf_factor: int = 1) -> int:
@@ -409,19 +462,40 @@ def _positions(bank: LevelBank, T: int, W: int, H: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _make_chain_kernel(U: int, S: int):
+def _make_chain_kernel(U: int, S: int, counted=None):
     """Chained rotate-accumulate: U python-unrolled sub-steps of S slot
     bodies each. Per sub-step: tree-sum the S signed contributions,
     accumulate into (or reset, keep=0) the running tile, store the tile
     to this sub-step's output row. Signed contributions are word-level
     negations — exact for packed byte/u16 lanes because integer tile
     sums are order-independent and the FINAL per-lane values are the
-    same bounded responses the plain kernel produces."""
+    same bounded responses the plain kernel produces.
 
-    def kernel(meta_ref, lm_ref, out_ref):
+    `counted=(unit, M)` adds the threshold-count epilogue: on each
+    template's FINAL sub-step (the last store to its output row), count
+    the finished tile's passing cells — `j < pos AND cell >= rmin` with
+    (pos, rmin) read from an SMEM thr input [1, u_out, 2] — and store
+    the scalar to an SMEM count output [1, u_out]. The quirk term
+    (negative thresholds pass cells in [pos, M)) is pure arithmetic in
+    (pos, M) and is added on the XLA side, so the kernel never needs it.
+    Counting here reads the tile from registers; the XLA-side count
+    pass it replaces re-reads the whole [R, rows, 128] words array from
+    HBM and measured ~1.9 ms at K=10k (tools/exp_chain_cost.py W1)."""
+
+    def kernel(meta_ref, *refs):
+        if counted:
+            unit, M_true = counted
+            thr_ref, lm_ref, out_ref, cnt_ref = refs
+        else:
+            lm_ref, out_ref = refs
         rows = lm_ref.shape[1]
         lanes = lm_ref.shape[2]
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+        if counted:
+            bits = 32 // unit
+            vmask = (1 << bits) - 1
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+            jbase = (row_i * lanes + col) * unit
         acc = jnp.zeros((rows, lanes), jnp.int32)
         for u in range(U):
             keep = meta_ref[0, 5, u, 0]
@@ -451,7 +525,32 @@ def _make_chain_kernel(U: int, S: int):
             # is [u_out = max templates/program] rows, not [U] sub-step
             # rows — ~2x less output DMA + extraction scan on dense
             # 2-sub-step banks.
-            out_ref[0, meta_ref[0, 6, u, 0]] = acc
+            loc = meta_ref[0, 6, u, 0]
+            out_ref[0, loc] = acc
+            if counted:
+                # a sub-step is its template's last iff the next
+                # sub-step stores to a different row (emit rows are
+                # strictly increasing; trailing no-ops re-store the last
+                # row, so only the final one triggers at u == U-1)
+                def _epilogue(acc=acc, loc=loc):
+                    pos = thr_ref[0, loc, 0]
+                    rmin = thr_ref[0, loc, 1]
+                    c = jnp.zeros((rows, lanes), jnp.int32)
+                    for s in range(unit):
+                        v = (acc >> (bits * s)) & vmask
+                        c += ((jbase < pos - s)
+                              & (v >= rmin)).astype(jnp.int32)
+                    # sublane-only reduce + vector store: a full scalar
+                    # reduce + SMEM scalar store here measured ~200 ns
+                    # PER TEMPLATE (~2 ms at K=10k — it cancelled the
+                    # whole XLA count-pass saving); the lane sum of the
+                    # [128] partials is a tiny XLA pass instead
+                    cnt_ref[0, loc] = jnp.sum(c, axis=0)
+
+                if u == U - 1:
+                    _epilogue()
+                else:
+                    pl.when(meta_ref[0, 6, u + 1, 0] != loc)(_epilogue)
 
     return kernel
 
@@ -514,6 +613,69 @@ def _coarse_words_pallas(lm, bank: LevelBank, T: int, size_wh, unit: int,
     return Sp, _positions(bank, T, W, H)
 
 
+def coarse_words_pallas_counted(lm: jnp.ndarray, bank: LevelBank, T: int,
+                                size_wh, rmin: jnp.ndarray,
+                                interpret: bool | None = None):
+    """coarse_words_pallas + the in-kernel threshold-count epilogue.
+
+    Returns (words [K, rows_w, 128] i32, kcnt [K] i32 live-pass counts,
+    positions, unit) or None when the bank doesn't take a packed
+    kernel. Feed to ops.similarity.extract_candidates_chain_counted
+    with emit=arange(K) — the full-words XLA compare pass disappears
+    (same mechanics as the chain route's counted extraction)."""
+    w_img, h_img = size_wh
+    W, H = w_img // T, h_img // T
+    M = W * H
+    n_ori = int(lm.shape[0])
+    C = n_ori * T * T
+    N_slots = int(bank.fx.shape[1])
+    max_resp = 4
+    M_pad = -(-(M + max(W, 1)) // 4096) * 4096
+    fits = 4 * (C + 1) * M_pad <= 36 * 2**20
+    if N_slots * max_resp <= 255 and fits:
+        unit = 4
+    elif N_slots * max_resp <= 65535 and fits:
+        unit = 2
+    else:
+        return None
+    words, kcnt, positions = _coarse_words_pallas_counted(
+        lm, bank, T, size_wh, unit, rmin, _resolve_interpret(interpret))
+    return words, kcnt, positions, unit
+
+
+@functools.partial(jax.jit, static_argnames=("T", "size_wh", "unit",
+                                             "interpret"))
+def _coarse_words_pallas_counted(lm, bank: LevelBank, T: int, size_wh,
+                                 unit: int, rmin, interpret: bool):
+    w_img, h_img = size_wh
+    W, H = w_img // T, h_img // T
+    M = W * H
+    n_ori = int(lm.shape[0])
+    C = n_ori * T * T
+    M_pad = -(-(M + max(W, 1)) // 4096) * 4096
+    rows_w = M_pad // (128 * unit)
+    flat = _extend_lm_planes(lm, M, M_pad, C)
+    lmp = _pack_copies(flat, C, unit, rows_w)
+
+    inb = (bank.valid
+           & (bank.fx >= 0) & (bank.fx < w_img)
+           & (bank.fy >= 0) & (bank.fy < h_img))
+    plane = bank.label * (T * T) + (bank.fy % T) * T + (bank.fx % T)
+    plane = jnp.where(inb, plane, C)
+    shift = jnp.where(inb, (bank.fy // T) * W + bank.fx // T, 0)
+    nf = jnp.where(bank.valid.any(axis=1), bank.nfeat, 0).astype(jnp.int32)
+    unroll = _unroll_for(rows_w)
+    meta = _build_meta(plane, shift, nf, unit=unit, copies=unit, C=C,
+                       rows=rows_w, unroll=unroll)
+    positions = _positions(bank, T, W, H)
+    thr = jnp.stack([positions.astype(jnp.int32),
+                     rmin.astype(jnp.int32)], axis=1)
+    Sp, cnt = _run_rotate_kernel(meta, lmp, rows_w, (unroll,), interpret,
+                                 thr=thr, counted=(unit, M))
+    kcnt = jnp.sum(cnt, axis=1, dtype=jnp.int32)
+    return Sp, kcnt, positions
+
+
 def chain_coarse_word_rows(lm: jnp.ndarray, bank: LevelBank, plan, desc,
                            T: int, size_wh,
                            interpret: bool | None = None):
@@ -522,6 +684,25 @@ def chain_coarse_word_rows(lm: jnp.ndarray, bank: LevelBank, plan, desc,
     gather, no bitcast. Feed to extract_candidates_chain_words."""
     return _chain_word_rows(lm, bank, plan.meta, T, size_wh, desc,
                             _resolve_interpret(interpret))
+
+
+def chain_coarse_word_rows_counted(lm: jnp.ndarray, bank: LevelBank,
+                                   plan, desc, T: int, size_wh,
+                                   rmin: jnp.ndarray,
+                                   interpret: bool | None = None):
+    """Chain kernel + in-kernel threshold-count epilogue.
+
+    Returns (words [P*u_out, rows, 128] i32, cnt [P*u_out] i32,
+    positions). cnt[emit[k]] is the EXACT number of template k's cells
+    with `j < positions[k] AND cell >= rmin[k]` (the live-pass count;
+    the negative-threshold quirk term is pure arithmetic the caller
+    adds); rows never stored by any sub-step hold garbage counts —
+    callers mask by emit. Feed to
+    ops.similarity.extract_candidates_chain_counted, which skips the
+    full-words compare pass entirely (~1.9 ms at K=10k on v5e)."""
+    return _chain_word_rows_counted(lm, bank, plan.meta, plan.emit, T,
+                                    size_wh, desc, rmin,
+                                    _resolve_interpret(interpret))
 
 
 def chain_coarse_cells(lm: jnp.ndarray, bank: LevelBank, plan, desc,
@@ -583,6 +764,64 @@ def _chain_word_rows(lm, bank, plan_meta, T: int, size_wh, desc,
     )(plan_meta, lmp)
     return (out.reshape(P * desc.u_out, desc.rows, 128),
             _positions(bank, T, W, H))
+
+
+@functools.partial(jax.jit, static_argnames=("T", "size_wh", "desc",
+                                             "interpret"))
+def _chain_word_rows_counted(lm, bank, plan_meta, emit, T: int, size_wh,
+                             desc, rmin, interpret: bool):
+    from .chain_plan import CHAIN_S, CHAIN_U
+
+    w_img, h_img = size_wh
+    W, H = w_img // T, h_img // T
+    M = W * H
+    C = desc.n_ori * T * T
+    flat = _extend_lm_planes(lm, M, desc.m_pad, C)
+    lmp = _pack_copies(flat, C, desc.unit, desc.rows)
+    P = desc.n_programs
+    positions = _positions(bank, T, W, H)
+    # SMEM thr rows: (pos, rmin) at each template's output row; rows no
+    # template stores to keep the zero default (their counts are
+    # garbage anyway — callers mask by emit)
+    thr = jnp.zeros((P * desc.u_out, 2), jnp.int32).at[emit].set(
+        jnp.stack([positions.astype(jnp.int32),
+                   rmin.astype(jnp.int32)], axis=1)
+    ).reshape(P, desc.u_out, 2)
+    words, cnt = pl.pallas_call(
+        _make_chain_kernel(CHAIN_U, CHAIN_S, counted=(desc.unit, M)),
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((1, 7, CHAIN_U, CHAIN_S),
+                         lambda k: (k, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, desc.u_out, 2), lambda k: (k, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(lmp.shape, lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, desc.u_out, desc.rows, 128),
+                         lambda k: (k, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # per-template [128] lane-partial counts (the kernel only
+            # reduces sublanes; Mosaic: block last two dims (u_out, 128)
+            # equal/divide the array's)
+            pl.BlockSpec((1, desc.u_out, 128), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, desc.u_out, desc.rows, 128),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((P, desc.u_out, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(plan_meta, thr, lmp)
+    kcnt = jnp.sum(cnt.reshape(P * desc.u_out, 128), axis=1,
+                   dtype=jnp.int32)
+    return (words.reshape(P * desc.u_out, desc.rows, 128), kcnt,
+            positions)
 
 
 @functools.partial(jax.jit, static_argnames=("T", "size_wh", "desc",

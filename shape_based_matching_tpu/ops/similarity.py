@@ -575,6 +575,138 @@ def extract_candidates_chain_words(words: jnp.ndarray, emit: jnp.ndarray,
                           quirk_row, t4n, row_tmpl, unit, T, W, C, M)
 
 
+@partial(jax.jit, static_argnames=("unit", "T", "W", "C", "M"))
+def extract_candidates_chain_counted(words: jnp.ndarray,
+                                     kcnt: jnp.ndarray,
+                                     emit: jnp.ndarray,
+                                     positions: jnp.ndarray,
+                                     nfeat: jnp.ndarray, threshold,
+                                     unit: int, T: int, W: int, C: int,
+                                     M: int):
+    """Candidate extraction from the counted chain kernel's outputs —
+    bit-identical results to extract_candidates_chain_words, but the
+    full-words compare+count pass (the ~1.9 ms dominant extraction cost
+    at K=10k, tools/exp_chain_cost.py W1) is replaced by the kernel's
+    in-register counts plus O(C) per-candidate work.
+
+    `kcnt[emit[k]]` is template k's live-pass count (cells with
+    `j < positions[k] AND cell >= rmin[k]`, counted in-kernel from the
+    finished tile). The negative-threshold quirk cells (j in [pos, M)
+    when rmin <= 0) sit AFTER all live cells in j order, so their count
+    is `M - clip(pos, 0, M)` and a quirk candidate's cell index is pure
+    arithmetic — no word data needed (its raw score is 0 by the
+    reference's zero-initialized similarity Mat scan,
+    line2Dup.cpp:1190-1204). Blocks are whole TEMPLATES here (the
+    kernel can only count whole tiles cheaply); a live candidate
+    re-derives its cell by a three-level descent over its template's
+    own word tile: per-row counts -> row, per-lane counts -> lane,
+    sub-cell flags -> cell. All descent stages recompute the SAME
+    live-pass predicate the kernel counted, so ranks align exactly.
+    """
+    R, rows, lanes = words.shape
+    K = nfeat.shape[0]
+    bits = 32 // unit
+    vmask = (1 << bits) - 1
+
+    rmin, t4n = _rmin_for_threshold(nfeat, threshold)
+    pos = positions.astype(jnp.int32)
+    quirk = rmin <= 0
+
+    # per-block (= per-template output row) counts; unstored rows hold
+    # garbage -> mask by emit
+    ref = jnp.zeros((R,), bool).at[emit].set(True)
+    live_cnt = jnp.where(ref, kcnt, 0)
+    qcnt_k = jnp.where(quirk, M - jnp.clip(pos, 0, M), 0)
+    bcnt = live_cnt.at[emit].add(qcnt_k)
+
+    incl = jnp.cumsum(bcnt)
+    n_above = incl[-1]
+
+    # two-level searchsorted over the R template rows
+    ns = -(-R // 128)
+    cnt_p = jnp.concatenate(
+        [bcnt, jnp.zeros((ns * 128 - R,), jnp.int32)]) if ns * 128 != R \
+        else bcnt
+    sup = jnp.sum(cnt_p.reshape(ns, 128), axis=1, dtype=jnp.int32)
+    sup_incl = jnp.cumsum(sup)
+    slots = jnp.arange(C, dtype=jnp.int32)
+    sb = jnp.sum(sup_incl[None, :] <= slots[:, None], axis=1,
+                 dtype=jnp.int32)
+    got = sb < ns
+    sb_safe = jnp.minimum(sb, ns - 1)
+    sup_excl = sup_incl - sup
+    r1 = slots - sup_excl[sb_safe]
+    blk_rows = cnt_p.reshape(ns, 128)[sb_safe]       # [C, 128]
+    blk_incl = jnp.cumsum(blk_rows, axis=1)
+    bi = jnp.sum(blk_incl <= r1[:, None], axis=1, dtype=jnp.int32)
+    grow = sb_safe * 128 + jnp.minimum(bi, 127)      # template row
+    got &= grow < R
+    grow = jnp.minimum(grow, R - 1)
+    blk_excl = blk_incl - blk_rows
+    r1 = r1 - blk_excl[jnp.arange(C), jnp.minimum(bi, 127)]
+
+    row_tmpl = jnp.full((R,), K, jnp.int32).at[emit].set(
+        jnp.arange(K, dtype=jnp.int32))
+    k = jnp.minimum(row_tmpl[grow], K - 1)
+    pos_c = pos[k][:, None, None]                    # [C, 1, 1]
+    rmin_c = rmin[k][:, None, None]
+    lcnt_c = live_cnt[grow]
+    is_quirk = r1 >= lcnt_c
+
+    # live candidates: three-level descent over the template's words
+    gw = words[grow]                                 # [C, rows, 128]
+    tr = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    ln = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    jb = ((tr * lanes) + ln) * unit                  # [rows, 128]
+    c_w = jnp.zeros(gw.shape, jnp.int32)
+    for s in range(unit):
+        v = (gw >> (bits * s)) & vmask
+        c_w += ((jb[None] + s < pos_c) & (v >= rmin_c)).astype(jnp.int32)
+    r1l = jnp.where(is_quirk, 0, r1)
+    row_sum = jnp.sum(c_w, axis=2, dtype=jnp.int32)  # [C, rows]
+    row_incl = jnp.cumsum(row_sum, axis=1)
+    rp = jnp.sum(row_incl <= r1l[:, None], axis=1, dtype=jnp.int32)
+    rp_c = jnp.minimum(rp, rows - 1)
+    ar = jnp.arange(C)
+    r2 = r1l - (row_incl[ar, rp_c] - row_sum[ar, rp_c])
+    c_row = c_w[ar, rp_c]                            # [C, 128]
+    lane_incl = jnp.cumsum(c_row, axis=1)
+    lp = jnp.sum(lane_incl <= r2[:, None], axis=1, dtype=jnp.int32)
+    lp_c = jnp.minimum(lp, lanes - 1)
+    r3 = r2 - (lane_incl[ar, lp_c] - c_row[ar, lp_c])
+    word = gw[ar, rp_c, lp_c]                        # [C]
+    jw = ((rp_c * lanes) + lp_c) * unit
+    sflags = []
+    for s in range(unit):
+        v = (word >> (bits * s)) & vmask
+        sflags.append((jw + s < pos[k]) & (v >= rmin[k]))
+    s_incl = jnp.cumsum(jnp.stack(sflags, axis=1).astype(jnp.int32),
+                        axis=1)
+    sp = jnp.sum(s_incl <= r3[:, None], axis=1, dtype=jnp.int32)
+    s_safe = jnp.minimum(sp, unit - 1)
+    jj_live = jw + s_safe
+    raw_live = (word >> (bits * s_safe)) & vmask
+
+    # quirk candidates: cells [clip(pos,0,M), M) in order, raw score 0
+    jq = jnp.clip(pos[k], 0, M) + (r1 - lcnt_c)
+    jj = jnp.where(is_quirk, jq, jj_live)
+    raw = jnp.where(is_quirk, 0, raw_live)
+
+    sc = (raw * 100).astype(jnp.float32) / t4n[k]
+    offset = T // 2 + (T % 2 - 1)
+    x = (jj % W) * T + offset
+    y = (jj // W) * T + offset
+    return k, x, y, sc, got, n_above
+
+
+def counted_extract_enabled() -> bool:
+    """In-kernel threshold counts + counted extraction on the chain
+    route. SBM_NO_COUNTED_EXTRACT=1 falls back to the full-words
+    compare pass (extract_candidates_chain_words)."""
+    import os
+    return os.environ.get("SBM_NO_COUNTED_EXTRACT", "") != "1"
+
+
 def words_extract_enabled() -> bool:
     """Extraction on the kernels' native i32 word tiles (no bitcast
     views, no layout-crossing reshapes). SBM_NO_WORDS_EXTRACT=1 is the
@@ -603,6 +735,16 @@ def coarse_extract_dispatch(lm, lmflat, bank: LevelBank, T: int, size_wh,
         use_pallas = use_pallas_default()
     if use_pallas and words_extract_enabled():
         if chain is not None:
+            if counted_extract_enabled():
+                from .pallas.similarity_pallas import (
+                    chain_coarse_word_rows_counted)
+
+                rmin, _ = _rmin_for_threshold(bank.nfeat, threshold)
+                words, kcnt, positions = chain_coarse_word_rows_counted(
+                    lm, bank, chain, chain_desc, T, size_wh, rmin)
+                return extract_candidates_chain_counted(
+                    words, kcnt, chain.emit, positions, bank.nfeat,
+                    threshold, chain_desc.unit, T, W, cand_cap, M)
             from .pallas.similarity_pallas import chain_coarse_word_rows
 
             words, positions = chain_coarse_word_rows(
@@ -610,6 +752,20 @@ def coarse_extract_dispatch(lm, lmflat, bank: LevelBank, T: int, size_wh,
             return extract_candidates_chain_words(
                 words, chain.emit, positions, bank.nfeat, threshold,
                 chain_desc.unit, T, W, cand_cap, M)
+        if counted_extract_enabled():
+            from .pallas.similarity_pallas import (
+                coarse_words_pallas_counted)
+
+            rmin, _ = _rmin_for_threshold(bank.nfeat, threshold)
+            resc = coarse_words_pallas_counted(lm, bank, T, size_wh,
+                                               rmin)
+            if resc is not None:
+                words, kcnt, positions, unit = resc
+                K = bank.fx.shape[0]
+                return extract_candidates_chain_counted(
+                    words, kcnt, jnp.arange(K, dtype=jnp.int32),
+                    positions, bank.nfeat, threshold, unit, T, W,
+                    cand_cap, M)
         from .pallas.similarity_pallas import coarse_words_pallas
 
         res = coarse_words_pallas(lm, bank, T, size_wh)

@@ -134,13 +134,15 @@ def test_chain_extraction_rows_equals_cells(dense_detector):
     extract_candidates_chain_words on the RAW i32 word rows."""
     from shape_based_matching_tpu.ops.pallas.chain_plan import ChainPlan
     from shape_based_matching_tpu.ops.pallas.similarity_pallas import (
-        chain_coarse_rows, chain_coarse_word_rows)
+        chain_coarse_rows, chain_coarse_word_rows,
+        chain_coarse_word_rows_counted)
     from shape_based_matching_tpu.ops.response import build_linear_memories
     from shape_based_matching_tpu.ops.gradients import (
         quantized_orientations_gray)
     from shape_based_matching_tpu.ops.filters import pyr_down_u8
     from shape_based_matching_tpu.ops.similarity import (
-        extract_candidates_cells, extract_candidates_chain,
+        _rmin_for_threshold, extract_candidates_cells,
+        extract_candidates_chain, extract_candidates_chain_counted,
         extract_candidates_chain_words)
 
     det, templ = dense_detector
@@ -186,6 +188,17 @@ def test_chain_extraction_rows_equals_cells(dense_detector):
             word_rows, plan.emit, pos, bank.nfeat, jnp.float32(thr),
             desc.unit, T, W, cap, M)
         check(got_words, want, thr, cap, "words")
+        # counted kernel: in-kernel live-pass counts + O(C) extraction
+        # (incl. the negative-threshold quirk arithmetic at thr=-5)
+        rmin, _ = _rmin_for_threshold(bank.nfeat, jnp.float32(thr))
+        words_c, kcnt, pos_c = chain_coarse_word_rows_counted(
+            lm, bank, plan, desc, T, size_wh, rmin)
+        assert jnp.array_equal(pos_c, pos)
+        assert jnp.array_equal(words_c, word_rows)
+        got_counted = extract_candidates_chain_counted(
+            words_c, kcnt, plan.emit, pos, bank.nfeat,
+            jnp.float32(thr), desc.unit, T, W, cap, M)
+        check(got_counted, want, thr, cap, "counted")
 
 
 def test_chain_packed2_wide_bank_cells_exact():
@@ -225,6 +238,35 @@ def test_chain_packed2_wide_bank_cells_exact():
     assert cells_chain.dtype == cells_prod.dtype == jnp.uint16
     assert jnp.array_equal(pos_c, pos_p)
     assert jnp.array_equal(cells_chain, cells_prod)
+
+    # counted route on u16 (unit=2) words: extraction parity vs the
+    # compare-pass words route
+    from shape_based_matching_tpu.ops.pallas.similarity_pallas import (
+        chain_coarse_word_rows, chain_coarse_word_rows_counted)
+    from shape_based_matching_tpu.ops.similarity import (
+        _rmin_for_threshold, extract_candidates_chain_counted,
+        extract_candidates_chain_words)
+
+    W = size_wh[0] // T
+    M = W * (size_wh[1] // T)
+    thr = jnp.float32(82.0)
+    word_rows, pos_w = chain_coarse_word_rows(lm, bank, plan, desc, T,
+                                              size_wh)
+    rmin, _ = _rmin_for_threshold(bank.nfeat, thr)
+    words_c, kcnt, _pc = chain_coarse_word_rows_counted(
+        lm, bank, plan, desc, T, size_wh, rmin)
+    assert jnp.array_equal(words_c, word_rows)
+    want = extract_candidates_chain_words(
+        word_rows, plan.emit, pos_w, bank.nfeat, thr, desc.unit, T, W,
+        128, M)
+    got = extract_candidates_chain_counted(
+        words_c, kcnt, plan.emit, pos_w, bank.nfeat, thr, desc.unit, T,
+        W, 128, M)
+    va, vb = np.asarray(got[4]), np.asarray(want[4])
+    assert np.array_equal(va, vb)
+    assert int(got[5]) == int(want[5])
+    for a, b in zip(got[:4], want[:4]):
+        assert np.array_equal(np.asarray(a)[va], np.asarray(b)[vb])
 
 
 def test_plan_chain_sharded_shapes(dense_detector):

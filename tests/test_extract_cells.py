@@ -79,3 +79,26 @@ def test_cells_extraction_equals_map_extraction(rng, case, use_pallas,
             np.testing.assert_array_equal(np.asarray(want[i])[va],
                                           np.asarray(goww[i])[va])
         assert int(want[5]) == int(goww[5])
+
+        # counted route: in-kernel threshold counts + O(C) extraction
+        from shape_based_matching_tpu.ops.pallas.similarity_pallas import (
+            coarse_words_pallas_counted)
+        from shape_based_matching_tpu.ops.similarity import (
+            _rmin_for_threshold, extract_candidates_chain_counted)
+
+        rmin, _ = _rmin_for_threshold(bank.nfeat, jnp.float32(thr))
+        resc = coarse_words_pallas_counted(lm, bank, T, (w_img, h_img),
+                                           rmin)
+        assert resc is not None
+        words_c, kcnt, positions_c, unit_c = resc
+        assert unit_c == unit
+        np.testing.assert_array_equal(np.asarray(words_c),
+                                      np.asarray(words))
+        gowc = extract_candidates_chain_counted(
+            words_c, kcnt, jnp.arange(K, dtype=jnp.int32), positions_c,
+            bank.nfeat, jnp.float32(thr), unit, T, W, C, M2)
+        np.testing.assert_array_equal(va, np.asarray(gowc[4]))
+        for i in range(4):
+            np.testing.assert_array_equal(np.asarray(want[i])[va],
+                                          np.asarray(gowc[i])[va])
+        assert int(want[5]) == int(gowc[5])

@@ -4,16 +4,19 @@ Times nested WHOLE programs (per CLAUDE.md, separately-jitted stage
 timings are artifacts; deltas between nested whole programs bound each
 suffix stage):
 
-  Q1: frontend + chain kernel, block on the RAW [P, U, rows, 128] out
-      (before the emit gather)
-  Q2: Q1 + emit gather + bitcast -> cells [K, m_pad]
-  Q3: Q2 + extract_candidates_cells
-  Q3n: Q1 + extract_candidates_chain on the RAW rows (cell view; the
-       bitcast view's compare pass relayouts — kept as the measured
-       rejection)
+  Q1:  frontend + chain kernel, block on the RAW [P*u_out, rows, 128]
+       word tiles (compact per-template output rows)
+  Q2:  Q1 + emit gather + bitcast -> cells [K, m_pad]
+  Q3:  Q2 + extract_candidates_cells
   Q3w: Q1 + extract_candidates_chain_words on the RAW i32 word tiles
        (no emit gather, no relayout — the production fast path)
-  Q4: full match step (__graft_entry__.entry) == bench e2e
+  W1:  Q1 + the words compare+count pass only (block on bcnt/n_above) —
+       bounds the full-array scan inside extraction
+  W2:  W1 + the two-level searchsorted (block on candidate block ids)
+  Q4:  full match step (__graft_entry__.entry) == bench e2e
+
+Round-3 history (v5e, K=10k, pre-compact-output): Q1 3.03 ms,
+Q3(cells) 9.5 ms, Q3w 5.7 ms, full e2e 6.72 ms.
 
 Run (chip must be otherwise idle):
   JAX_COMPILATION_CACHE_DIR=~/.cache/sbm_jax_cache \
@@ -25,20 +28,16 @@ import time
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, "/root/repo")
 
 from shape_based_matching_tpu.ops.filters import pyr_down_u8
-from shape_based_matching_tpu.ops.pallas.chain_plan import (CHAIN_S,
-                                                            CHAIN_U)
 from shape_based_matching_tpu.ops.pallas.similarity_pallas import (
-    _extend_lm_planes, _make_chain_kernel, _pack_copies, _positions)
+    _positions, chain_coarse_word_rows)
 from shape_based_matching_tpu.ops.response import \
     build_linear_memories_fused
 from shape_based_matching_tpu.ops.similarity import (
-    extract_candidates_cells, extract_candidates_chain,
+    _rmin_for_threshold, extract_candidates_cells,
     extract_candidates_chain_words)
 from shape_based_matching_tpu.utils.synthetic import (
     build_rotated_detector, synthetic_scene)
@@ -61,70 +60,143 @@ def main(num_templates=10000, cap=256):
     assert chain is not None, "planner declined — nothing to attribute"
     plan, desc = chain
     print(f"chain: unit={desc.unit} rows={desc.rows} m_pad={desc.m_pad} "
-          f"P={desc.n_programs} (K={num_templates})", flush=True)
-    C = desc.n_ori * T * T
+          f"P={desc.n_programs} u_out={desc.u_out} (K={num_templates})",
+          flush=True)
+
+    K = int(plan.emit.shape[0])
+    cell_dtype = jnp.uint8 if desc.unit == 4 else jnp.uint16
+    threshold = jnp.float32(85.0)
 
     def chain_raw(image):
         src1 = pyr_down_u8(image)
         lm1 = build_linear_memories_fused(src1, 30.0, T)
-        flat = _extend_lm_planes(lm1, M, desc.m_pad, C)
-        lmp = _pack_copies(flat, C, desc.unit, desc.rows)
-        P = desc.n_programs
-        return pl.pallas_call(
-            _make_chain_kernel(CHAIN_U, CHAIN_S),
-            grid=(P,),
-            in_specs=[
-                pl.BlockSpec((1, 6, CHAIN_U, CHAIN_S),
-                             lambda k: (k, 0, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(lmp.shape, lambda k: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, CHAIN_U, desc.rows, 128),
-                                   lambda k: (k, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((P, CHAIN_U, desc.rows, 128),
-                                           jnp.int32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 2**20),
-        )(plan.meta, lmp)
+        words, positions = chain_coarse_word_rows(lm1, bank, plan, desc,
+                                                  T, size_wh)
+        return words, positions
 
-    K = int(plan.emit.shape[0])
-    cell_dtype = jnp.uint8 if desc.unit == 4 else jnp.uint16
-
-    def cells_of(out):
-        rows_k = out.reshape(-1, desc.rows, 128)[plan.emit]
-        return jax.lax.bitcast_convert_type(rows_k, cell_dtype).reshape(
-            K, desc.m_pad)
-
-    q1 = jax.jit(chain_raw)
+    @jax.jit
+    def q1(image):
+        return chain_raw(image)[0]
 
     @jax.jit
     def q2(image):
-        return cells_of(chain_raw(image))
+        words, _ = chain_raw(image)
+        rows_k = words[plan.emit]
+        return jax.lax.bitcast_convert_type(rows_k, cell_dtype).reshape(
+            K, desc.m_pad)
 
     @jax.jit
     def q3(image):
-        cells = cells_of(chain_raw(image))
-        positions = _positions(bank, T, Wd, h1 // T)
+        words, positions = chain_raw(image)
+        rows_k = words[plan.emit]
+        cells = jax.lax.bitcast_convert_type(rows_k, cell_dtype).reshape(
+            K, desc.m_pad)
         return extract_candidates_cells(cells, positions, bank.nfeat,
-                                        jnp.float32(85.0), T, Wd, cap, M)
-
-    @jax.jit
-    def q3n(image):
-        rows_cells = jax.lax.bitcast_convert_type(
-            chain_raw(image), cell_dtype).reshape(-1, desc.m_pad)
-        positions = _positions(bank, T, Wd, h1 // T)
-        return extract_candidates_chain(rows_cells, plan.emit, positions,
-                                        bank.nfeat, jnp.float32(85.0),
-                                        T, Wd, cap, M)
+                                        threshold, T, Wd, cap, M)
 
     @jax.jit
     def q3w(image):
-        words = chain_raw(image).reshape(-1, desc.rows, 128)
-        positions = _positions(bank, T, Wd, h1 // T)
+        words, positions = chain_raw(image)
         return extract_candidates_chain_words(
-            words, plan.emit, positions, bank.nfeat, jnp.float32(85.0),
+            words, plan.emit, positions, bank.nfeat, threshold,
+            desc.unit, T, Wd, cap, M)
+
+    def row_params(positions):
+        R = desc.n_programs * desc.u_out
+        rmin, t4n = _rmin_for_threshold(bank.nfeat, threshold)
+        cell_max = jnp.int32((1 << (32 // desc.unit)) - 1)
+        passable = rmin <= cell_max
+        quirk = rmin <= 0
+        big = jnp.full((1,), 1 << 30, jnp.int32)
+        row_tmpl = jnp.full((R,), K, jnp.int32).at[plan.emit].set(
+            jnp.arange(K, dtype=jnp.int32))
+        pos_row = jnp.concatenate(
+            [positions.astype(jnp.int32),
+             jnp.zeros((1,), jnp.int32)])[row_tmpl]
+        rmin_row = jnp.concatenate([rmin, big])[row_tmpl]
+        passable_row = jnp.concatenate(
+            [passable, jnp.zeros((1,), jnp.bool_)])[row_tmpl]
+        quirk_row = jnp.concatenate(
+            [quirk, jnp.zeros((1,), jnp.bool_)])[row_tmpl]
+        return pos_row, rmin_row, passable_row, quirk_row
+
+    def count_pass(words, positions):
+        """The _extract_words compare+count prefix (verbatim semantics)."""
+        pos_row, rmin_row, passable_row, quirk_row = row_params(positions)
+        R, rows, lanes = words.shape
+        unit = desc.unit
+        bits = 32 // unit
+        vmask = (1 << bits) - 1
+        tr_l = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+        ln_l = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+        jbase = ((tr_l * lanes) + ln_l) * unit
+        pos_b = pos_row[:, None, None]
+        pas_b = passable_row[:, None, None]
+        qrk_b = quirk_row[:, None, None]
+        rmin_b = rmin_row[:, None, None]
+        flags = []
+        for s in range(unit):
+            v = (words >> (bits * s)) & vmask
+            j = jbase[None] + s
+            live = j < pos_b
+            flags.append((live & pas_b & (v >= rmin_b))
+                         | (qrk_b & ~live & (j < M)))
+        cnt_blk = sum(jnp.sum(f, axis=2, dtype=jnp.int32) for f in flags)
+        return cnt_blk.reshape(-1)
+
+    @jax.jit
+    def w1(image):
+        words, positions = chain_raw(image)
+        bcnt = count_pass(words, positions)
+        return jnp.cumsum(bcnt)[-1]
+
+    @jax.jit
+    def w2(image):
+        words, positions = chain_raw(image)
+        bcnt = count_pass(words, positions)
+        nb = bcnt.shape[0]
+        incl = jnp.cumsum(bcnt)
+        ns = -(-nb // 128)
+        cnt_p = (jnp.concatenate(
+            [bcnt, jnp.zeros((ns * 128 - nb,), jnp.int32)])
+            if ns * 128 != nb else bcnt)
+        sup = jnp.sum(cnt_p.reshape(ns, 128), axis=1, dtype=jnp.int32)
+        sup_incl = jnp.cumsum(sup)
+        slots = jnp.arange(cap, dtype=jnp.int32)
+        sb = jnp.sum(sup_incl[None, :] <= slots[:, None], axis=1,
+                     dtype=jnp.int32)
+        sb_safe = jnp.minimum(sb, ns - 1)
+        sup_excl = sup_incl - sup
+        r1 = slots - sup_excl[sb_safe]
+        blk_rows = cnt_p.reshape(ns, 128)[sb_safe]
+        blk_incl = jnp.cumsum(blk_rows, axis=1)
+        bi = jnp.sum(blk_incl <= r1[:, None], axis=1, dtype=jnp.int32)
+        blk = sb_safe * 128 + jnp.minimum(bi, 127)
+        return blk, incl[-1]
+
+    from shape_based_matching_tpu.ops.pallas.similarity_pallas import (
+        chain_coarse_word_rows_counted)
+    from shape_based_matching_tpu.ops.similarity import (
+        extract_candidates_chain_counted)
+
+    @jax.jit
+    def q1c(image):
+        src1 = pyr_down_u8(image)
+        lm1 = build_linear_memories_fused(src1, 30.0, T)
+        rmin, _ = _rmin_for_threshold(bank.nfeat, threshold)
+        words, kcnt, positions = chain_coarse_word_rows_counted(
+            lm1, bank, plan, desc, T, size_wh, rmin)
+        return words, kcnt
+
+    @jax.jit
+    def q3c(image):
+        src1 = pyr_down_u8(image)
+        lm1 = build_linear_memories_fused(src1, 30.0, T)
+        rmin, _ = _rmin_for_threshold(bank.nfeat, threshold)
+        words, kcnt, positions = chain_coarse_word_rows_counted(
+            lm1, bank, plan, desc, T, size_wh, rmin)
+        return extract_candidates_chain_counted(
+            words, kcnt, plan.emit, positions, bank.nfeat, threshold,
             desc.unit, T, Wd, cap, M)
 
     from __graft_entry__ import entry
@@ -133,9 +205,12 @@ def main(num_templates=10000, cap=256):
 
     progs = [("Q1 chain-raw", lambda: q1(scene)),
              ("Q2 +emit/cells", lambda: q2(scene)),
-             ("Q3 +extract", lambda: q3(scene)),
-             ("Q3n rows-direct", lambda: q3n(scene)),
+             ("Q3 +extract-cells", lambda: q3(scene)),
              ("Q3w words-direct", lambda: q3w(scene)),
+             ("W1 +count-pass", lambda: w1(scene)),
+             ("W2 +searchsorted", lambda: w2(scene)),
+             ("Q1c counted-raw", lambda: q1c(scene)),
+             ("Q3c counted-extract", lambda: q3c(scene)),
              ("Q4 full e2e", lambda: q4(*args4))]
     for name, f in progs:
         t0 = time.time()
@@ -151,7 +226,8 @@ def main(num_templates=10000, cap=256):
             for _ in range(iters):
                 out = f()
             jax.block_until_ready(out)
-            line.append(f"{name}: {(time.perf_counter()-t0)/iters*1e3:7.3f} ms")
+            line.append(
+                f"{name}: {(time.perf_counter()-t0)/iters*1e3:7.3f} ms")
         print(" | ".join(line), flush=True)
 
 
