@@ -1025,17 +1025,16 @@ class Detector:
                 from ..ops.pallas.similarity_pallas import (
                     coarse_words_pallas_counted)
                 from ..ops.similarity import (
-                    _rmin_for_threshold, extract_candidates_chain_counted)
+                    _rmin_for_threshold, extract_candidates_words_counted)
 
                 rmin, _ = _rmin_for_threshold(nfeat_b, thr)
                 resc = coarse_words_pallas_counted(
                     lm_last, bank_last, t_last, size_last, rmin)
                 if resc is not None:
                     words, kcnt, positions, unit = resc
-                    emit_id = jnp.arange(K, dtype=jnp.int32)
-                    extract = lambda cap: extract_candidates_chain_counted(
-                        words, kcnt, emit_id, positions, nfeat_b, thr,
-                        unit, t_last, w_last, cap, M)
+                    extract = lambda cap: extract_candidates_words_counted(
+                        words, kcnt, positions, nfeat_b, thr, unit,
+                        t_last, w_last, cap, M)
             else:
                 from ..ops.pallas.similarity_pallas import (
                     coarse_words_pallas)

@@ -603,11 +603,8 @@ def extract_candidates_chain_counted(words: jnp.ndarray,
     sub-cell flags -> cell. All descent stages recompute the SAME
     live-pass predicate the kernel counted, so ranks align exactly.
     """
-    R, rows, lanes = words.shape
+    R = words.shape[0]
     K = nfeat.shape[0]
-    bits = 32 // unit
-    vmask = (1 << bits) - 1
-
     rmin, t4n = _rmin_for_threshold(nfeat, threshold)
     pos = positions.astype(jnp.int32)
     quirk = rmin <= 0
@@ -618,6 +615,44 @@ def extract_candidates_chain_counted(words: jnp.ndarray,
     live_cnt = jnp.where(ref, kcnt, 0)
     qcnt_k = jnp.where(quirk, M - jnp.clip(pos, 0, M), 0)
     bcnt = live_cnt.at[emit].add(qcnt_k)
+    row_tmpl = jnp.full((R,), K, jnp.int32).at[emit].set(
+        jnp.arange(K, dtype=jnp.int32))
+    return _extract_counted_core(words, bcnt, live_cnt, row_tmpl, pos,
+                                 rmin, t4n, unit, T, W, C, M)
+
+
+@partial(jax.jit, static_argnames=("unit", "T", "W", "C", "M"))
+def extract_candidates_words_counted(words: jnp.ndarray,
+                                     kcnt: jnp.ndarray,
+                                     positions: jnp.ndarray,
+                                     nfeat: jnp.ndarray, threshold,
+                                     unit: int, T: int, W: int, C: int,
+                                     M: int):
+    """extract_candidates_chain_counted for the PLAIN counted kernel,
+    where output row r IS template r — scatter-free (the `.at[emit]`
+    scatters of the chain variant crash XLA:TPU's scatter-fusion pass
+    at some shapes: ScatterEmitter::ShouldFuseInputIntoScatter check
+    failure at K=1000; identity emit needs no scatters at all)."""
+    rmin, t4n = _rmin_for_threshold(nfeat, threshold)
+    pos = positions.astype(jnp.int32)
+    quirk = rmin <= 0
+    qcnt_k = jnp.where(quirk, M - jnp.clip(pos, 0, M), 0)
+    bcnt = kcnt + qcnt_k
+    return _extract_counted_core(words, bcnt, kcnt, None, pos, rmin,
+                                 t4n, unit, T, W, C, M)
+
+
+def _extract_counted_core(words, bcnt, live_cnt, row_tmpl, pos, rmin,
+                          t4n, unit: int, T: int, W: int, C: int,
+                          M: int):
+    """Shared tail of the counted extractions: two-level searchsorted
+    over per-template block counts, then a row->lane->sub-cell descent
+    over each candidate's own word tile. `row_tmpl=None` means rows ARE
+    templates (the plain kernel)."""
+    R, rows, lanes = words.shape
+    K = pos.shape[0]
+    bits = 32 // unit
+    vmask = (1 << bits) - 1
 
     incl = jnp.cumsum(bcnt)
     n_above = incl[-1]
@@ -645,9 +680,10 @@ def extract_candidates_chain_counted(words: jnp.ndarray,
     blk_excl = blk_incl - blk_rows
     r1 = r1 - blk_excl[jnp.arange(C), jnp.minimum(bi, 127)]
 
-    row_tmpl = jnp.full((R,), K, jnp.int32).at[emit].set(
-        jnp.arange(K, dtype=jnp.int32))
-    k = jnp.minimum(row_tmpl[grow], K - 1)
+    if row_tmpl is None:
+        k = grow
+    else:
+        k = jnp.minimum(row_tmpl[grow], K - 1)
     pos_c = pos[k][:, None, None]                    # [C, 1, 1]
     rmin_c = rmin[k][:, None, None]
     lcnt_c = live_cnt[grow]
@@ -761,11 +797,9 @@ def coarse_extract_dispatch(lm, lmflat, bank: LevelBank, T: int, size_wh,
                                                rmin)
             if resc is not None:
                 words, kcnt, positions, unit = resc
-                K = bank.fx.shape[0]
-                return extract_candidates_chain_counted(
-                    words, kcnt, jnp.arange(K, dtype=jnp.int32),
-                    positions, bank.nfeat, threshold, unit, T, W,
-                    cand_cap, M)
+                return extract_candidates_words_counted(
+                    words, kcnt, positions, bank.nfeat, threshold,
+                    unit, T, W, cand_cap, M)
         from .pallas.similarity_pallas import coarse_words_pallas
 
         res = coarse_words_pallas(lm, bank, T, size_wh)

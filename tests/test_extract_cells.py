@@ -84,7 +84,7 @@ def test_cells_extraction_equals_map_extraction(rng, case, use_pallas,
         from shape_based_matching_tpu.ops.pallas.similarity_pallas import (
             coarse_words_pallas_counted)
         from shape_based_matching_tpu.ops.similarity import (
-            _rmin_for_threshold, extract_candidates_chain_counted)
+            _rmin_for_threshold, extract_candidates_words_counted)
 
         rmin, _ = _rmin_for_threshold(bank.nfeat, jnp.float32(thr))
         resc = coarse_words_pallas_counted(lm, bank, T, (w_img, h_img),
@@ -94,9 +94,9 @@ def test_cells_extraction_equals_map_extraction(rng, case, use_pallas,
         assert unit_c == unit
         np.testing.assert_array_equal(np.asarray(words_c),
                                       np.asarray(words))
-        gowc = extract_candidates_chain_counted(
-            words_c, kcnt, jnp.arange(K, dtype=jnp.int32), positions_c,
-            bank.nfeat, jnp.float32(thr), unit, T, W, C, M2)
+        gowc = extract_candidates_words_counted(
+            words_c, kcnt, positions_c, bank.nfeat, jnp.float32(thr),
+            unit, T, W, C, M2)
         np.testing.assert_array_equal(va, np.asarray(gowc[4]))
         for i in range(4):
             np.testing.assert_array_equal(np.asarray(want[i])[va],
