@@ -469,6 +469,22 @@ class Detector:
         """
         source = np.asarray(source)
         mask = None if object_mask is None else np.asarray(object_mask)
+        if use_pallas_default():
+            # On a real accelerator, route through the batch trainer
+            # (B=1): it ships the bit-packed eligible bitmap + compacted
+            # strong-candidate values instead of 12 full gradient-plane
+            # pulls — through the tunneled v5e those pulls measured
+            # ~7 s EACH under load (~87 s of a 116 s 10k bank build).
+            # Bit-identical by construction and by test
+            # (tests/test_train_pipeline.py). CPU keeps the plane path:
+            # pulls are free there and the batch programs would add
+            # XLA:CPU compiles to every distinctly-shaped test image.
+            return self.add_templates(
+                source[None], class_id,
+                None if mask is None else mask[None],
+                num_features=num_features, sscales=[sscale],
+                orientations=[orientation], tag_field_ids=[tag_field_id],
+                fiducial_src=fiducial_src)[0]
         nfeat = int(num_features) if num_features > 0 else self.num_features
 
         tp: TemplatePyramid = []
@@ -671,6 +687,24 @@ class Detector:
         pyramids.append(tp)
         self._invalidate_banks(class_id)
         return len(pyramids) - 1
+
+    def add_templates_rotate(self, class_id: str, zero_id: int, thetas,
+                             center) -> list[int]:
+        """Batched add_template_rotate: every angle of a dense sweep in
+        one vectorized pass — bit-identical templates, ~10x faster bank
+        builds at 10k angles (the scalar path pays ~1.3 ms of python
+        overhead per rotation). Returns the new template ids in order."""
+        pyramids = self.class_templates[class_id]
+        src_tp = pyramids[zero_id]
+        tps = training.rotate_templates_batch(
+            src_tp, [float(t) for t in thetas], center,
+            self.pyramid_levels, self.num_orientations)
+        ids = []
+        for tp in tps:
+            pyramids.append(tp)
+            ids.append(len(pyramids) - 1)
+        self._invalidate_banks(class_id)
+        return ids
 
     def get_templates(self, class_id: str, template_id: int) -> TemplatePyramid:
         return self.class_templates[class_id][template_id]

@@ -54,6 +54,7 @@ def build_rotated_detector(num_templates: int = 360, num_features: int = 63,
     assert tid == 0, "synthetic template training failed"
     step = 360.0 / num_templates
     c = size / 2.0
-    for i in range(1, num_templates):
-        det.add_template_rotate("bench", 0, i * step, (c, c))
+    det.add_templates_rotate("bench", 0,
+                             [i * step for i in range(1, num_templates)],
+                             (c, c))
     return det, templ_img

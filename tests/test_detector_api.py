@@ -287,3 +287,38 @@ def test_merged_overflow_escalated_cap(monkeypatch):
     assert len(group_calls) == 2 and group_calls[1] > group_calls[0]
     # …and no per-class fallback
     assert not esc_calls
+
+
+def test_add_templates_rotate_batch_exact_vs_sequential():
+    """The batched rotation sweep must produce BIT-IDENTICAL templates
+    to repeated add_template_rotate (same IEEE op sequence incl. the f64
+    rotate, f32 narrowing, theta wrap, and the C-remainder even-origin
+    crop) — including angles < 0, > 360, and a non-integer center."""
+    import numpy as np
+
+    from shape_based_matching_tpu.models.detector import Detector
+    from shape_based_matching_tpu.utils.synthetic import (
+        synthetic_shape_image)
+
+    det = Detector(num_features=32, T=(4, 8))
+    img = synthetic_shape_image(128, 3)
+    mask = np.full_like(img, 255)
+    assert det.add_template(img, "a", mask) == 0
+    assert det.add_template(img, "b", mask) == 0
+    angles = ([i * 7.3 for i in range(1, 40)]
+              + [359.9, 123.456, -5.0, 360.0, 370.5, 720.1])
+    c = (64.0, 63.3)
+    seq_ids = [det.add_template_rotate("a", 0, a, c) for a in angles]
+    bat_ids = det.add_templates_rotate("b", 0, angles, c)
+    assert bat_ids == seq_ids  # same id sequence (both append after 0)
+    pa, pb = det.class_templates["a"], det.class_templates["b"]
+    assert len(pa) == len(pb) == len(angles) + 1
+    for tpa, tpb in zip(pa[1:], pb[1:]):
+        for ta, tb in zip(tpa, tpb):
+            assert (ta.width, ta.height, ta.tl_x, ta.tl_y,
+                    ta.pyramid_level) == (tb.width, tb.height, tb.tl_x,
+                                          tb.tl_y, tb.pyramid_level)
+            assert len(ta.features) == len(tb.features)
+            for fa, fb in zip(ta.features, tb.features):
+                assert (fa.x, fa.y, fa.label) == (fb.x, fb.y, fb.label)
+                assert np.float32(fa.theta) == np.float32(fb.theta)
