@@ -44,6 +44,28 @@ def test_detector_pallas_dispatch_interpreted(interpret_env):
     assert _keys(got_b) == _keys(want_b) == _keys(want)
 
 
+def test_match_batch_multiframe_counted_interpreted(interpret_env):
+    """B>1 vmaps the per-frame program, i.e. the counted coarse kernel
+    (extra thr operand broadcast, extra cnt output mapped) runs under
+    jax.vmap — the streaming/throughput path. Results must equal the
+    XLA route frame for frame."""
+    import numpy as np
+
+    det, templ_img = build_rotated_detector(num_templates=6,
+                                            num_features=32, size=56)
+    frames = np.stack([
+        np.asarray(synthetic_scene(256, 256, templ_img, n_instances=2,
+                                   seed=s)) for s in (5, 9, 13)])
+
+    det.use_pallas = False
+    want = det.match_batch(frames, 80.0)
+    det.use_pallas = True
+    got = det.match_batch(frames, 80.0)
+    assert any(len(w) for w in want)
+    for g, w in zip(got, want):
+        assert _keys(g) == _keys(w)
+
+
 def test_match_batch_map_mode_interpreted(interpret_env):
     """cand_cap >= 1024 selects the distinct-template map path with the
     Pallas map-window extract; results must equal the XLA path."""
