@@ -31,19 +31,19 @@ def main(out_dir: str = "/tmp/sbm_bank", angle_step: float = 1.0,
     shapes.angle_step = angle_step
     shapes.produce_infos()
 
-    first_id = None
-    kept = []
-    for info in shapes.infos:
-        if first_id is None:
-            tid = det.add_template(shapes.src_of(info), "part",
-                                   shapes.mask_of(info))
-            first_id, first_angle = tid, info.angle
-        else:
-            tid = det.add_template_rotate(
-                "part", first_id, info.angle - first_angle,
-                (size / 2.0, size / 2.0))
-        if tid != -1:
-            kept.append(info)
+    # first angle trains from pixels; the rest derive by the BATCHED
+    # feature rotation (bit-identical to per-angle add_template_rotate,
+    # one vectorized pass for the whole sweep)
+    first = shapes.infos[0]
+    first_id = det.add_template(shapes.src_of(first), "part",
+                                shapes.mask_of(first))
+    kept = [first] if first_id != -1 else []
+    rest = shapes.infos[1:]
+    if first_id != -1 and rest:
+        ids = det.add_templates_rotate(
+            "part", first_id, [i.angle - first.angle for i in rest],
+            (size / 2.0, size / 2.0))
+        kept.extend(info for info, tid in zip(rest, ids) if tid != -1)
 
     det.write_classes(os.path.join(out_dir, "%s.yaml.gz"))
     det.save_settings(os.path.join(out_dir, "detector_linemod.yaml"),
