@@ -454,6 +454,28 @@ class Detector:
         # (id(bank), size_wh) -> (ChainPlan, ChainDesc) | None — coarse
         # delta-chain plans for dense banks (ops/pallas/chain_plan.py)
         self._chain_plans: dict[tuple, object] = {}
+        # value -> resident device scalar/array: eager jnp.float32(...) /
+        # jnp.zeros((1, 1)) per match call are each a device_put — one
+        # tunnel round trip apiece, and the tunnel's per-dispatch latency
+        # swings ~10x between sessions (case1 at 361 templates measured
+        # 0.7-14 ms/frame with identical programs; most of the spread is
+        # per-call dispatch count x dispatch latency)
+        self._dev_consts: dict = {}
+
+    def _f32(self, v):
+        """Cached device f32 scalar (one device_put per distinct value)."""
+        key = float(v)
+        c = self._dev_consts.get(key)
+        if c is None:
+            c = self._dev_consts[key] = jnp.float32(key)
+        return c
+
+    def _zmask(self):
+        """Cached (1, 1) zeros placeholder for mask-less calls."""
+        c = self._dev_consts.get("zmask")
+        if c is None:
+            c = self._dev_consts["zmask"] = jnp.zeros((1, 1), jnp.uint8)
+        return c
 
     # ------------------------------------------------------------------
     # Template management
@@ -768,14 +790,14 @@ class Detector:
         gray = source.ndim == 2
         has_mask = mask is not None
         mask_arr = (jnp.asarray(np.asarray(mask)) if has_mask
-                    else jnp.zeros((1, 1), jnp.uint8))
+                    else self._zmask())
 
         use_pallas = (self.use_pallas if self.use_pallas is not None
                       else use_pallas_default())
         lmflats = _build_lm_pyramid(
             jnp.asarray(source), mask_arr, gray, has_mask,
             self.T_at_level, self.pyramid_levels,
-            jnp.float32(self.weak_threshold), self.num_orientations,
+            self._f32(self.weak_threshold), self.num_orientations,
             self.patch_2843, fused=use_pallas)
 
         sizes = self._level_sizes(source.shape[:2])
@@ -818,14 +840,14 @@ class Detector:
         gray = sources.ndim == 3
         has_mask = masks is not None
         mask_arr = (jnp.asarray(masks) if has_mask
-                    else jnp.zeros((1, 1), jnp.uint8))
+                    else self._zmask())
         use_pallas = (self.use_pallas if self.use_pallas is not None
                       else use_pallas_default())
         sizes = tuple(self._level_sizes(sources.shape[1:3]))
 
         lms = _batch_pyramid(jnp.asarray(sources), mask_arr, gray, has_mask,
                              self.T_at_level, self.pyramid_levels,
-                             jnp.float32(self.weak_threshold),
+                             self._f32(self.weak_threshold),
                              self.num_orientations, self.patch_2843,
                              fused=use_pallas)
 
@@ -961,7 +983,7 @@ class Detector:
         chain_plan, chain_desc = chain if chain is not None else (None,
                                                                   None)
         return _match_batch_class(
-            lms, tuple(banks), jnp.float32(threshold),
+            lms, tuple(banks), self._f32(threshold),
             self.T_at_level, self.pyramid_levels, use_pallas, sizes,
             cand_cap, min(distinct_cap, K), pathological, window_ok,
             chain_plan, chain_desc)
@@ -1028,7 +1050,7 @@ class Detector:
         # coarse_extract_dispatch: chain word rows > packed word tiles >
         # cells (XLA fallback / escape hatches).
         M = (size_last[0] // t_last) * (size_last[1] // t_last)
-        thr = jnp.float32(threshold)
+        thr = self._f32(threshold)
         nfeat_b = bank_last.nfeat
         extract = None
         if use_pallas and words_extract_enabled():

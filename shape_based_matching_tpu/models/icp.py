@@ -280,7 +280,7 @@ def refine_matches_icp(detector, source, matches, iters: int = 12,
 
             src = jnp.asarray(bgr2gray_u8(np.asarray(source)))
     off, normal, edge, has, subpix = edge_nearest_field(
-        src, jnp.float32(detector.weak_threshold), radius)
+        src, detector._f32(detector.weak_threshold), radius)
 
     N = max(len(detector.get_templates(m.class_id, m.template_id)[0]
                 .features) for m in matches)
@@ -374,7 +374,7 @@ def match_refine_batch(detector, frames, threshold: float, class_ids=None,
         raise ValueError("match_refine_batch expects gray [B, H, W] frames")
     packed = detector.match_batch(frames, threshold, class_ids,
                                   cand_cap=cand_cap, as_matches=False)
-    wt = jnp.float32(detector.weak_threshold)
+    wt = detector._f32(detector.weak_threshold)
     B = frames.shape[0]
     # edge fields once per frame (shared by every class); deliberately
     # NOT folded into one jit with the refine — see edge_nearest_field's
