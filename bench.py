@@ -8,11 +8,21 @@ CPU number (README.md:35). Also measures the 360-template config
 (reference: 60 ms response maps + 7 ms match = 67 ms) and writes all
 metrics to BENCH_DETAIL.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} —
+FIRST, as soon as the primary metric finishes, so a driver timeout
+during the detail metrics cannot zero the artifact (round 3 lost its
+perf record exactly that way: BENCH_r03.json rc 124, empty tail).
+Detail metrics then run cheapest-first under a wall-clock budget
+(env SBM_BENCH_BUDGET_S, default 480 s measured from process start);
+whatever doesn't fit is recorded in BENCH_DETAIL's "skipped" list.
+BENCH_DETAIL.json is rewritten after every metric, so even a hard kill
+mid-run leaves a valid partial file.
 """
 
 import json
 import time
+
+_T0 = time.monotonic()  # budget epoch: process start, not main()
 
 BASELINE_1000_MS = 20.0   # reference CPU, ~1000 templates e2e
 BASELINE_360_MS = 67.0    # 60 ms response maps + 7 ms / 360-template match
@@ -306,6 +316,8 @@ def _measure_case1(iters: int = 20):
 
     from shape_based_matching_tpu import Detector
 
+    from shape_based_matching_tpu.utils import dispatch
+
     det = Detector(num_features=128, T=(4, 8))
     det.read_classes(["test"], f"{ref}/%s_templ.yaml")
     img = jax.device_put(load_mat("case1_img.bin"))
@@ -319,7 +331,14 @@ def _measure_case1(iters: int = 20):
             out = det.match_batch(img[None], 90.0, as_matches=False)
         jax.block_until_ready(out)
 
-    return _min_of(run, iters)
+    ms = _min_of(run, iters)
+    # dispatch audit alongside the wall number: ms/frame through the
+    # tunnel is ~= exec_total x today's dispatch latency, so recording
+    # the count makes a case1 swing attributable (env vs regression).
+    with dispatch.measure(transfers=True) as counts:
+        out = det.match_batch(img[None], 90.0, as_matches=False)
+        jax.block_until_ready(out)
+    return ms, counts
 
 
 # Each metric runs in its OWN subprocess: the ~0.7 ms case1 program is
@@ -341,13 +360,37 @@ _METRICS = {
     "production_device": lambda: _measure_production_device(1000, 128),
 }
 
-# Metrics whose failure should not zero the whole artifact: everything
-# except the primary north-star number. A transient tunnel outage on one
-# config then costs that one line of BENCH_DETAIL, not the round.
-_REQUIRED = {"e2e1000"}
+# Detail metrics in cheapest-first order, with a rough warm-cache cost
+# estimate (s) used to decide whether a metric still fits the budget.
+# Estimates are deliberately generous (subprocess import + compile-cache
+# hits + measurement loops); a metric is skipped when the remaining
+# budget is below its estimate, and hard-killed at the remaining budget
+# if it overruns anyway.
+_DETAIL_ORDER = [
+    ("e2e360", 35),
+    ("case1", 35),
+    ("masked360", 45),
+    ("fps_b8", 45),
+    ("icp_refine", 40),
+    ("e2e10000", 60),
+    ("production_device", 60),
+    ("production_batch", 60),
+    ("train_sweep", 60),
+    ("bank_build_10k", 90),
+]
 
 
-def _run_metric_subprocess(name: str):
+def _budget_s() -> float:
+    import os
+
+    return float(os.environ.get("SBM_BENCH_BUDGET_S", "480"))
+
+
+def _remaining_s() -> float:
+    return _budget_s() - (time.monotonic() - _T0)
+
+
+def _run_metric_subprocess(name: str, timeout_s: float | None = None):
     """Run one metric in a fresh python process; returns its value(s)."""
     import os
     import subprocess
@@ -358,11 +401,51 @@ def _run_metric_subprocess(name: str):
                    os.path.expanduser("~/.cache/sbm_jax_cache"))
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--metric", name],
-        capture_output=True, text=True, env=env,
+        capture_output=True, text=True, env=env, timeout=timeout_s,
         cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
     if out.returncode != 0:
         raise RuntimeError(f"metric {name} failed:\n{out.stderr[-2000:]}")
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _detail_from_vals(vals: dict, skipped: list) -> dict:
+    """Assemble BENCH_DETAIL from whichever metrics have finished."""
+    detail = {}
+    ms_1000 = vals.get("e2e1000")
+    if ms_1000 is not None:
+        detail["match_1024x1024_1000templates_e2e_ms"] = round(ms_1000, 3)
+        detail["vs_baseline_1000"] = round(BASELINE_1000_MS / ms_1000, 2)
+        detail["north_star_under_5ms"] = ms_1000 < 5.0
+
+    def put(key, value, digits):
+        if value is not None:
+            detail[key] = round(value, digits)
+
+    ms_masked, ms_unmasked_b1 = vals.get("masked360") or (None, None)
+    put("match_1024x1024_360templates_e2e_ms", vals.get("e2e360"), 3)
+    put("match_1024x1024_360templates_masked_e2e_ms", ms_masked, 3)
+    put("match_1024x1024_360templates_b1_e2e_ms", ms_unmasked_b1, 3)
+    put("match_1024x1024_10000templates_e2e_ms", vals.get("e2e10000"), 3)
+    put("throughput_1024x1024_360templates_b8_fps", vals.get("fps_b8"), 1)
+    put("train_sweep_128x256px_templates_per_s",
+        vals["train_sweep"][0] if vals.get("train_sweep") else None, 1)
+    put("bank_build_10000templates_s", vals.get("bank_build_10k"), 2)
+    put("icp_refine_64matches_1024x1024_e2e_ms", vals.get("icp_refine"), 3)
+    put("production_batch_1000t_128f_match_icp_ms",
+        vals.get("production_batch"), 3)
+    put("production_device_1000t_128f_match_icp_ms",
+        vals.get("production_device"), 3)
+    if vals.get("e2e360") is not None:
+        detail["vs_baseline_360"] = round(
+            BASELINE_360_MS / vals["e2e360"], 2)
+    case1 = vals.get("case1")
+    if case1 is not None:
+        ms, counts = case1
+        detail["case1_361templates_golden_e2e_ms"] = round(ms, 3)
+        detail["case1_dispatch_counts"] = counts
+    if skipped:
+        detail["skipped"] = sorted(skipped)
+    return detail
 
 
 def main():
@@ -374,56 +457,42 @@ def main():
         return
     in_process = "--in-process" in sys.argv  # debugging escape hatch
 
-    vals = {}
-    for name in _METRICS:
-        try:
-            vals[name] = (_METRICS[name]() if in_process
-                          else _run_metric_subprocess(name))
-        except Exception as e:  # noqa: BLE001 — skip optional metrics
-            if name in _REQUIRED:
-                raise
-            import sys as _sys
+    def run(name, timeout_s=None):
+        return (_METRICS[name]() if in_process
+                else _run_metric_subprocess(name, timeout_s))
 
-            print(f"bench: metric {name} failed, skipping: {e}",
-                  file=_sys.stderr)
-            vals[name] = None
-
-    ms_1000 = vals["e2e1000"]
-    ms_masked, ms_unmasked_b1 = vals["masked360"] or (None, None)
-    detail = {"match_1024x1024_1000templates_e2e_ms": round(ms_1000, 3),
-              "vs_baseline_1000": round(BASELINE_1000_MS / ms_1000, 2),
-              "north_star_under_5ms": ms_1000 < 5.0}
-
-    def put(key, value, digits):
-        if value is not None:
-            detail[key] = round(value, digits)
-
-    put("match_1024x1024_360templates_e2e_ms", vals["e2e360"], 3)
-    put("match_1024x1024_360templates_masked_e2e_ms", ms_masked, 3)
-    put("match_1024x1024_360templates_b1_e2e_ms", ms_unmasked_b1, 3)
-    put("match_1024x1024_10000templates_e2e_ms", vals["e2e10000"], 3)
-    put("throughput_1024x1024_360templates_b8_fps", vals["fps_b8"], 1)
-    put("train_sweep_128x256px_templates_per_s",
-        vals["train_sweep"][0] if vals["train_sweep"] else None, 1)
-    put("bank_build_10000templates_s", vals["bank_build_10k"], 2)
-    put("icp_refine_64matches_1024x1024_e2e_ms", vals["icp_refine"], 3)
-    put("production_batch_1000t_128f_match_icp_ms",
-        vals["production_batch"], 3)
-    put("production_device_1000t_128f_match_icp_ms",
-        vals["production_device"], 3)
-    if vals["e2e360"] is not None:
-        detail["vs_baseline_360"] = round(BASELINE_360_MS / vals["e2e360"],
-                                          2)
-    put("case1_361templates_golden_e2e_ms", vals["case1"], 3)
-    with open("BENCH_DETAIL.json", "w") as f:
-        json.dump(detail, f, indent=2)
-
+    # 1. Primary metric, then IMMEDIATELY the required single JSON line:
+    #    stdout carries exactly this one line, flushed, so a timeout
+    #    anywhere later still leaves a complete driver artifact.
+    ms_1000 = run("e2e1000")
     print(json.dumps({
         "metric": "match_1024x1024_1000templates_e2e_ms",
         "value": round(ms_1000, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_1000_MS / ms_1000, 2),
-    }))
+    }), flush=True)
+
+    # 2. Detail metrics, cheapest-first, inside the wall-clock budget.
+    vals = {"e2e1000": ms_1000}
+    skipped = []
+    detail_path = "BENCH_DETAIL.json"
+    with open(detail_path, "w") as f:
+        json.dump(_detail_from_vals(vals, skipped), f, indent=2)
+    for name, est_s in _DETAIL_ORDER:
+        remaining = _remaining_s()
+        if remaining < est_s:
+            skipped.append(name)
+            print(f"bench: skipping {name} (est {est_s}s, "
+                  f"{remaining:.0f}s of budget left)", file=sys.stderr)
+        else:
+            try:
+                vals[name] = run(name, timeout_s=remaining)
+            except Exception as e:  # noqa: BLE001 — detail is optional
+                skipped.append(name)
+                print(f"bench: metric {name} failed, skipping: "
+                      f"{str(e)[-1500:]}", file=sys.stderr)
+        with open(detail_path, "w") as f:
+            json.dump(_detail_from_vals(vals, skipped), f, indent=2)
 
 
 if __name__ == "__main__":

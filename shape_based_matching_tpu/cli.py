@@ -751,6 +751,26 @@ def cmd_info(args) -> int:
     sz0 = (w, h)
     print(f"  refinement:       "
           f"{'window kernel' if window_refine_supported(sz0, T[0], n_ori) else ('map kernel' if map_refine_supported(sz0, T[0], 64) else 'exact XLA path')}")
+
+    if getattr(args, "dispatch", False):
+        # Per-match dispatch audit: warm a tiny B=1 match, then count one
+        # call's device executions + transfers (utils/dispatch.py). Wall
+        # time per frame ~= exec_total x today's tunnel dispatch latency,
+        # so this separates "environment is slow" from "the code grew a
+        # dispatch" (round 3's case1 swung 0.7->5.7 ms undiagnosably).
+        from .utils import dispatch
+        from .utils.synthetic import build_rotated_detector, synthetic_scene
+
+        det, templ_img = build_rotated_detector(num_templates=4,
+                                                num_features=32, size=56)
+        scene = synthetic_scene(256, 256, templ_img, n_instances=2, seed=5)
+        det.match(scene, 80.0)  # compile + warm const caches
+        det.match(scene, 80.0)  # warm any transfer-patch first-use cost
+        with dispatch.measure(transfers=True) as delta:
+            det.match(scene, 80.0)
+        print("\nwarm B=1 match dispatch audit (256x256, 4 templates):")
+        for key in sorted(delta):
+            print(f"  {key:24s} {delta[key]}")
     return 0
 
 
@@ -871,6 +891,8 @@ def main(argv=None) -> int:
     inf.add_argument("--T", default="4,8")
     inf.add_argument("--n-ori", default="8")
     inf.add_argument("--num-features", default="63")
+    inf.add_argument("--dispatch", action="store_true",
+                     help="audit device dispatches of one warm match")
     inf.set_defaults(fn=cmd_info)
 
     args = ap.parse_args(argv)

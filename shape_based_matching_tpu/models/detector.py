@@ -39,6 +39,8 @@ from ..ops.pallas.refine_pallas import (map_refine_supported,
                                         refine_from_maps_pallas,
                                         refine_windows_pallas,
                                         window_refine_supported)
+from ..utils.dispatch import count as dispatch_count
+from ..utils.dispatch import counted_jit
 from ..utils.yaml_io import (class_file_path, dump_opencv_yaml,
                              load_opencv_yaml)
 from . import training
@@ -75,6 +77,7 @@ _CAND_BUCKETS = (256, 1024, 4096, 16384, 65536)
 _MERGED_ESCALATED_CAP = 16384
 
 
+@partial(counted_jit, name="pack_match_results")
 @jax.jit
 def _pack_match_results(groups):
     """Pack per-group match tuples into ONE [n_groups, B, 6, C] i32
@@ -160,13 +163,14 @@ def _lm_pyramid(source, mask, gray: bool, has_mask: bool, T: tuple,
     return tuple(lmflats)
 
 
-_build_lm_pyramid = partial(jax.jit,
-                            static_argnames=("gray", "has_mask", "T",
-                                             "levels", "n_ori",
-                                             "patch_2843",
-                                             "fused"))(_lm_pyramid)
+_build_lm_pyramid = counted_jit(
+    partial(jax.jit,
+            static_argnames=("gray", "has_mask", "T", "levels", "n_ori",
+                             "patch_2843", "fused"))(_lm_pyramid),
+    name="lm_pyramid")
 
 
+@partial(counted_jit, name="batch_pyramid")
 @partial(jax.jit, static_argnames=("gray", "has_mask", "T", "levels",
                                    "n_ori", "patch_2843", "fused"))
 def _batch_pyramid(sources, masks, gray: bool, has_mask: bool, T: tuple,
@@ -210,6 +214,7 @@ def _batch_pyramid(sources, masks, gray: bool, has_mask: bool, T: tuple,
     return tuple(lmflats)
 
 
+@partial(counted_jit, name="match_batch_class")
 @partial(jax.jit, static_argnames=("T", "levels", "use_pallas", "sizes",
                                    "cand_cap", "d_cap", "pathological",
                                    "window_ok", "chain_desc"))
@@ -272,6 +277,7 @@ def _match_batch_class(lms, banks, threshold, T: tuple, levels: int,
     return jax.vmap(per_frame)(lms)
 
 
+@partial(counted_jit, name="batch_train_level")
 @partial(jax.jit, static_argnames=("gray", "has_mask", "n_ori",
                                    "patch_2843", "cap"))
 def _batch_train_level(srcs, masks, weak_threshold, strong_sq_lo,
@@ -328,6 +334,7 @@ def _batch_train_level(srcs, masks, weak_threshold, strong_sq_lo,
     return jax.vmap(one, in_axes=(0, 0 if has_mask else None))(srcs, masks)
 
 
+@partial(counted_jit, name="batch_train_counts")
 @partial(jax.jit, static_argnames=("gray", "has_mask", "n_ori",
                                    "patch_2843"))
 def _batch_train_counts(srcs, masks, weak_threshold, gray: bool,
@@ -353,6 +360,7 @@ def _batch_train_counts(srcs, masks, weak_threshold, gray: bool,
     return jax.vmap(one, in_axes=(0, 0 if has_mask else None))(srcs, masks)
 
 
+@partial(counted_jit, name="batch_train_planes")
 @partial(jax.jit, static_argnames=("gray", "has_mask", "n_ori",
                                    "patch_2843"))
 def _batch_train_planes(srcs, masks, weak_threshold, gray: bool,
@@ -897,6 +905,7 @@ class Detector:
         # (float scores bitcast). Per-array pulls would pay the transfer
         # latency 6x per class; the stacking itself is jitted so it is
         # one dispatch, not ~6 eager ops through the tunnel.
+        dispatch_count("d2h_pulls")
         host = np.asarray(_pack_match_results(tuple(packed.values())))
 
         out: list[list[Match]] = []
