@@ -133,6 +133,38 @@ def _measure_masked(num_templates: int = 360, iters: int = 20):
     return timed(True), timed(False)
 
 
+def _measure_wide(num_templates: int = 1000, num_features: int = 128,
+                  iters: int = 20, dense: bool = False, size: int = 256):
+    """Match-only e2e (ms/frame) for WIDE-feature banks — the fork's
+    marquee 8191-features-per-template mode and its u16 (packed2)
+    kernel route (README.md:45, u16 accumulators line2Dup.cpp:811,931).
+    Round 3 had zero perf numbers here; `dense=True` trains on block
+    noise so an 8191-cap template actually saturates its feature
+    budget. Returns (ms, true coarse-level feature count)."""
+    import jax
+
+    from shape_based_matching_tpu.utils.synthetic import (
+        build_rotated_detector, synthetic_scene)
+
+    det, templ_img = build_rotated_detector(num_templates=num_templates,
+                                            num_features=num_features,
+                                            dense=dense, size=size)
+    nfeat_coarse = len(det.get_templates("bench", 0)[-1].features)
+    frame = synthetic_scene(1024, 1024, templ_img, n_instances=2, seed=11)
+    frames = jax.device_put(frame[None])
+    jax.block_until_ready(frames)
+    out = det.match_batch(frames, 88.0, as_matches=False)  # compile
+    jax.block_until_ready(out)
+
+    def run(n):
+        out = None
+        for _ in range(n):
+            out = det.match_batch(frames, 88.0, as_matches=False)
+        jax.block_until_ready(out)
+
+    return _min_of(run, iters), nfeat_coarse
+
+
 def _measure_train_sweep(n_frames: int = 128, size: int = 256):
     """Training-sweep throughput (templates/s): Detector.add_templates on
     n_frames distinct frames — device gradient batches dispatched ahead
@@ -353,6 +385,8 @@ _METRICS = {
     "e2e1000": lambda: _measure(1000),
     "e2e10000": lambda: _measure(10000, iters=10),
     "fps_b8": lambda: _measure_throughput(360, 8),
+    "match1000x128": lambda: _measure_wide(1000, 128),
+    "wide8191": lambda: _measure_wide(8, 8191, dense=True, size=768),
     "train_sweep": lambda: _measure_train_sweep(128, 256),
     "bank_build_10k": lambda: _measure_bank_build(10000),
     "icp_refine": lambda: _measure_icp(64),
@@ -370,8 +404,10 @@ _DETAIL_ORDER = [
     ("e2e360", 35),
     ("case1", 35),
     ("masked360", 45),
+    ("match1000x128", 45),
     ("fps_b8", 45),
     ("icp_refine", 40),
+    ("wide8191", 60),
     ("e2e10000", 60),
     ("production_device", 60),
     ("production_batch", 60),
@@ -427,6 +463,14 @@ def _detail_from_vals(vals: dict, skipped: list) -> dict:
     put("match_1024x1024_360templates_b1_e2e_ms", ms_unmasked_b1, 3)
     put("match_1024x1024_10000templates_e2e_ms", vals.get("e2e10000"), 3)
     put("throughput_1024x1024_360templates_b8_fps", vals.get("fps_b8"), 1)
+    if vals.get("match1000x128") is not None:
+        ms, nf = vals["match1000x128"]
+        detail["match_1024x1024_1000t_128f_e2e_ms"] = round(ms, 3)
+        detail["match_1000t_128f_coarse_nfeat"] = int(nf)
+    if vals.get("wide8191") is not None:
+        ms, nf = vals["wide8191"]
+        detail["match_1024x1024_8t_8191f_e2e_ms"] = round(ms, 3)
+        detail["match_8t_8191f_coarse_nfeat"] = int(nf)
     put("train_sweep_128x256px_templates_per_s",
         vals["train_sweep"][0] if vals.get("train_sweep") else None, 1)
     put("bank_build_10000templates_s", vals.get("bank_build_10k"), 2)

@@ -744,7 +744,8 @@ def cmd_info(args) -> int:
     if nfeat * max_resp <= 255:
         coarse = "packed4 (byte-preshifted, 4 cells/lane)"
     elif nfeat * max_resp <= 65535:
-        coarse = "packed2 (u16 halves, 2 cells/lane)"
+        coarse = ("wide (packed4 phases + u16 widening; packed2 when "
+                  "counted extraction is disabled)")
     else:
         coarse = "unpacked i32"
     print(f"  coarse kernel:    {coarse}")

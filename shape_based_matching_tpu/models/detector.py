@@ -471,10 +471,19 @@ class Detector:
         self._dev_consts: dict = {}
 
     def _f32(self, v):
-        """Cached device f32 scalar (one device_put per distinct value)."""
+        """Cached device f32 scalar (one device_put per distinct value).
+
+        Bounded: a caller sweeping thresholds would otherwise grow
+        device allocations without limit. Eviction is insertion-order
+        (dicts preserve it); 64 distinct values is far beyond any real
+        threshold schedule. Cached constants pin to the backend active
+        at first use — a Detector must not outlive a mid-process
+        jax_platforms switch (CLAUDE.md documents the switch pattern)."""
         key = float(v)
         c = self._dev_consts.get(key)
         if c is None:
+            while len(self._dev_consts) >= 64:
+                self._dev_consts.pop(next(iter(self._dev_consts)))
             c = self._dev_consts[key] = jnp.float32(key)
         return c
 
@@ -626,12 +635,22 @@ class Detector:
             host_levels = [(tuple(np.asarray(a) for a in outs), hw)
                            for outs, hw in levels_out]
             # strong-candidate overflow (needs > cand_cap strong pixels
-            # per frame — pathological): full-planes program for the
-            # chunk, one transfer, bit-identical
+            # per frame — pathological): full-planes program + transfer
+            # for ONLY the overflowing frames — the rest of the chunk
+            # keeps its already-pulled compacted outputs instead of
+            # re-paying the multi-MB plane pulls this path exists to
+            # avoid (~7 s per pull through the tunnel under load)
+            ovf = np.zeros(b1 - b0, bool)
+            for outs, _ in host_levels:
+                ovf |= np.asarray(outs[3]) > cand_cap  # n_strong/frame
             planes_levels = None
-            if any(int(outs[3].max()) > cand_cap for outs, _ in host_levels):
-                src = jnp.asarray(sources[b0:b1])
-                msk = jnp.asarray(masks[b0:b1]) if has_mask else None
+            plane_row: dict[int, int] = {}
+            if ovf.any():
+                idx = np.nonzero(ovf)[0]
+                plane_row = {int(b): i for i, b in enumerate(idx)}
+                src = jnp.asarray(sources[b0:b1][idx])
+                msk = (jnp.asarray(masks[b0:b1][idx]) if has_mask
+                       else None)
                 planes_levels = []
                 for l in range(self.pyramid_levels):
                     if l > 0:
@@ -651,15 +670,16 @@ class Detector:
                 b = b0 + bi
                 tp: TemplatePyramid = []
                 level_nfeat = nfeat
-                if planes_levels is not None:
+                if ovf[bi]:
+                    pi = plane_row[bi]
                     for l, ((elig, mag, quant, theta),
                             (h, w)) in enumerate(planes_levels):
                         if l > 0:
                             level_nfeat //= 2  # line2Dup.cpp:427
-                        ys, xs = np.nonzero(elig[bi])
+                        ys, xs = np.nonzero(elig[pi])
                         templ = training.extract_template_host(
-                            h, w, ys, xs, mag[bi][ys, xs],
-                            quant[bi][ys, xs], theta[bi][ys, xs],
+                            h, w, ys, xs, mag[pi][ys, xs],
+                            quant[pi][ys, xs], theta[pi][ys, xs],
                             level_nfeat, self.strong_threshold, l)
                         if templ is None:
                             tp = []
@@ -1088,18 +1108,29 @@ class Detector:
                     chain_desc.unit, t_last, w_last, cap, M)
             elif counted_extract_enabled():
                 from ..ops.pallas.similarity_pallas import (
-                    coarse_words_pallas_counted)
+                    coarse_words_pallas_counted,
+                    coarse_words_pallas_wide_counted)
                 from ..ops.similarity import (
-                    _rmin_for_threshold, extract_candidates_words_counted)
+                    _rmin_for_threshold, extract_candidates_wide_counted,
+                    extract_candidates_words_counted)
 
                 rmin, _ = _rmin_for_threshold(nfeat_b, thr)
-                resc = coarse_words_pallas_counted(
+                resw = coarse_words_pallas_wide_counted(
                     lm_last, bank_last, t_last, size_last, rmin)
-                if resc is not None:
-                    words, kcnt, positions, unit = resc
-                    extract = lambda cap: extract_candidates_words_counted(
-                        words, kcnt, positions, nfeat_b, thr, unit,
+                if resw is not None:
+                    words, kcnt, positions = resw
+                    extract = lambda cap: extract_candidates_wide_counted(
+                        words, kcnt, positions, nfeat_b, thr,
                         t_last, w_last, cap, M)
+                else:
+                    resc = coarse_words_pallas_counted(
+                        lm_last, bank_last, t_last, size_last, rmin)
+                    if resc is not None:
+                        words, kcnt, positions, unit = resc
+                        extract = (lambda cap:
+                                   extract_candidates_words_counted(
+                                       words, kcnt, positions, nfeat_b,
+                                       thr, unit, t_last, w_last, cap, M))
             else:
                 from ..ops.pallas.similarity_pallas import (
                     coarse_words_pallas)

@@ -376,21 +376,25 @@ def match_refine_batch(detector, frames, threshold: float, class_ids=None,
                                   cand_cap=cand_cap, as_matches=False)
     wt = detector._f32(detector.weak_threshold)
     B = frames.shape[0]
-    # edge fields once per frame (shared by every class); deliberately
-    # NOT folded into one jit with the refine — see edge_nearest_field's
-    # three-program note.
-    fields = [edge_nearest_field(frames[b], wt, radius) for b in range(B)]
-    out = {}
-    for class_id, (k, x, y, sc, valid, overflow) in packed.items():
-        bank0 = detector._get_banks(class_id)[0]
-        per_frame = []
-        for b in range(B):
-            off, normal, _edge, has, subpix = fields[b]
+    # frames OUTER: each frame's edge field (~20 MB of full-resolution
+    # offset/normal/subpix planes at 1 MP) is shared by every class,
+    # then dropped before the next frame's is built — device memory
+    # stays O(1) in B instead of holding B field sets live. The fields
+    # are deliberately NOT folded into one jit with the refine — see
+    # edge_nearest_field's three-program note.
+    out = {class_id: [] for class_id in packed}
+    banks0 = {class_id: detector._get_banks(class_id)[0]
+              for class_id in packed}
+    for b in range(B):
+        off, normal, _edge, has, subpix = edge_nearest_field(
+            frames[b], wt, radius)
+        for class_id, (k, x, y, sc, valid, overflow) in packed.items():
+            bank0 = banks0[class_id]
             res, kk, ox, oy, top_sc = refine_packed_candidates(
                 off, normal, has, subpix, bank0.fx, bank0.fy, bank0.valid,
                 k[b], x[b], y[b], sc[b], valid[b], top_c=top_c,
                 iters=iters, radius=radius)
-            per_frame.append({"icp": res, "k": kk, "x": ox, "y": oy,
-                              "score": top_sc, "overflow": overflow[b]})
-        out[class_id] = per_frame
+            out[class_id].append({"icp": res, "k": kk, "x": ox, "y": oy,
+                                  "score": top_sc,
+                                  "overflow": overflow[b]})
     return out

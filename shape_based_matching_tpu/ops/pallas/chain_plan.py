@@ -90,6 +90,11 @@ def plan_chain(bank, T: int, size_wh, n_ori: int,
         unit = 4
     elif N_slots * max_resp <= 65535:
         unit = 2
+        # the wide packed4-phase kernel scores unit-2 banks at HALF the
+        # packed2 per-feature cost (similarity_pallas._make_wide_kernel),
+        # so a unit-2 chain (whose slots roll 2x the word rows) must
+        # beat ~0.5x plain to be worth taking over the wide route
+        max_ratio = min(max_ratio, 0.45)
     else:
         return None
     M_pad = -(-(M + max(W, 1)) // 4096) * 4096

@@ -172,6 +172,113 @@ def _make_rotate_kernel(unroll: int, widen: bool = False,
 _COARSE_GROUP = 2  # templates per grid program (see _make_rotate_kernel)
 
 
+def _make_wide_kernel(unroll: int, PB: int, group: int = 1,
+                      counted=None):
+    """Wide-feature coarse kernel: u8 packed4 PHASES, u16 accumulators.
+
+    The fork's marquee mode is up to 8191 features per template
+    (README.md:45), scored with u16 accumulators in the reference
+    (line2Dup.cpp:811,931). The packed2 route pays 2x the packed4
+    per-feature roll cost (u16 cells halve the lanes AND double the word
+    rows). This kernel restores the 4-cells-per-lane feature loop:
+    features accumulate in u8 packed4 words for a PHASE of up to
+    PB*unroll <= 63 features (byte sums <= 4*63 = 252 never overflow),
+    then the phase total widens once into TWO i32 accumulators holding
+    u16 halves — acc_e takes the even bytes (cells 4m, 4m+2), acc_o the
+    odd (4m+1, 4m+3):
+
+        acc_e += phase & 0x00FF00FF;  acc_o += (phase >> 8) & 0x00FF00FF
+
+    Per-feature work is HALF the packed2 kernel's (same 5 rolls/select
+    ops, half the word rows); the widening costs ~5 tile ops per <= 60
+    features (~2%). Final u16 values are exact for nfeat <= 16383
+    (4*16383 < 65536), which covers the 8191 cap with margin.
+
+    Operands are EXACTLY the packed4 route's (byte-preshifted copies +
+    _build_meta(unit=4, copies=4)): phases are fixed ranges of unroll
+    blocks (PB per phase, PB*unroll <= 63), and the meta's existing
+    column padding (zero-plane no-op slots) makes partial tail blocks
+    exact — no reordering, no extra meta, no host planning.
+
+    Output block: [group, 2, rows, 128] i32 — plane 0 = acc_e, 1 =
+    acc_o; cell j of template g lives at plane e = j%4 & 1, word
+    (row, lane) = divmod((j//4), 128), u16 half s = (j%4) >> 1, i.e.
+    j = (row*128 + lane)*4 + 2*s + e (see extract_candidates_wide_*).
+
+    `counted=(M,)` adds the in-register threshold-count epilogue
+    (thr SMEM [1, group, 2] (pos, rmin) rows; cnt VMEM [1, group, 128]
+    lane partials) — same contract as _make_rotate_kernel's."""
+    EMASK = 0x00FF00FF  # plain int: a jnp scalar here would be a
+
+    # captured constant, which pallas_call rejects
+
+    def kernel(meta_ref, *refs):
+        if counted:
+            (M_true,) = counted
+            thr_ref, lm_ref, out_ref, cnt_ref = refs
+        else:
+            lm_ref, out_ref = refs
+        rows = lm_ref.shape[1]
+        lanes = lm_ref.shape[2]
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+        if counted:
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+            jbase4 = (row_i * lanes + col) * 4
+
+        for g in range(group):
+            n_feats = meta_ref[g, 0, meta_ref.shape[2] - 1]
+            nblk = (n_feats + unroll - 1) // unroll
+            n_phases = (nblk + PB - 1) // PB
+
+            def one(n, g=g):
+                idx = meta_ref[g, 0, n]
+                b = meta_ref[g, 1, n]
+                a = meta_ref[g, 2, n]
+                m = meta_ref[g, 3, n]
+                p = lm_ref[idx]
+                x = pltpu.roll(p, b, axis=0)
+                l = pltpu.roll(x, a, axis=1)
+                l1 = pltpu.roll(l, rows - 1, axis=0)
+                return jnp.where(col < m, l, l1)
+
+            def blk(i, a8, one=one):
+                base = i * unroll
+                vals = [one(base + u) for u in range(unroll)]
+                while len(vals) > 1:
+                    nxt = [vals[v] + vals[v + 1]
+                           for v in range(0, len(vals) - 1, 2)]
+                    if len(vals) % 2:
+                        nxt.append(vals[-1])
+                    vals = nxt
+                return a8 + vals[0]
+
+            def phase(ph, carry, blk=blk, nblk=nblk):
+                acc_e, acc_o = carry
+                b0 = ph * PB
+                a8 = jax.lax.fori_loop(
+                    b0, jnp.minimum(nblk, b0 + PB), blk,
+                    jnp.zeros((rows, lanes), jnp.int32))
+                return (acc_e + (a8 & EMASK),
+                        acc_o + ((a8 >> 8) & EMASK))
+
+            zz = jnp.zeros((rows, lanes), jnp.int32)
+            acc_e, acc_o = jax.lax.fori_loop(0, n_phases, phase, (zz, zz))
+            out_ref[g, 0] = acc_e
+            out_ref[g, 1] = acc_o
+            if counted:
+                pos = thr_ref[0, g, 0]
+                rmin = thr_ref[0, g, 1]
+                c = jnp.zeros((rows, lanes), jnp.int32)
+                for e, acc in ((0, acc_e), (1, acc_o)):
+                    for s in range(2):
+                        v = (acc >> (16 * s)) & 0xFFFF
+                        c += ((jbase4 + (2 * s + e) < pos)
+                              & (v >= rmin)).astype(jnp.int32)
+                cnt_ref[0, g] = jnp.sum(c, axis=0)
+
+    return kernel
+
+
 def _extend_lm_planes(lm, M: int, M_pad: int, C: int):
     """[C, ., M] linear memories -> flat [C+1, M_pad] u8: each plane's
     pad carries the CONTINUATION bytes of the flat layout (head of the
@@ -676,6 +783,101 @@ def _coarse_words_pallas_counted(lm, bank: LevelBank, T: int, size_wh,
     return Sp, kcnt, positions
 
 
+def coarse_words_pallas_wide_counted(lm: jnp.ndarray, bank: LevelBank,
+                                     T: int, size_wh, rmin: jnp.ndarray,
+                                     interpret: bool | None = None):
+    """Wide-feature (u16-range) coarse scores via the packed4-phase
+    kernel (_make_wide_kernel) + in-kernel threshold counts.
+
+    Engages for banks the packed2 route would take (64 <= N_slots <=
+    16383 features) when the preshifted packed4 copies fit VMEM; per
+    feature it does HALF the packed2 kernel's work. Returns
+    (words [K, 2, rows_w, 128] i32 in the wide even/odd layout,
+    kcnt [K] i32 live-pass counts, positions) or None when the config
+    doesn't qualify. Feed to extract_candidates_wide_counted."""
+    w_img, h_img = size_wh
+    W, H = w_img // T, h_img // T
+    M = W * H
+    n_ori = int(lm.shape[0])
+    C = n_ori * T * T
+    if os.environ.get("SBM_NO_WIDE", "") == "1":  # escape hatch
+        return None
+    N_slots = int(bank.fx.shape[1])
+    max_resp = 4
+    M_pad = -(-(M + max(W, 1)) // 4096) * 4096
+    fits = 4 * (C + 1) * M_pad <= 36 * 2**20
+    if not (255 < N_slots * max_resp <= 65535 and fits):
+        return None
+    words, kcnt, positions = _coarse_words_wide_counted(
+        lm, bank, T, size_wh, rmin, _resolve_interpret(interpret))
+    return words, kcnt, positions
+
+
+@functools.partial(jax.jit, static_argnames=("T", "size_wh", "interpret"))
+def _coarse_words_wide_counted(lm, bank: LevelBank, T: int, size_wh,
+                               rmin, interpret: bool):
+    w_img, h_img = size_wh
+    W, H = w_img // T, h_img // T
+    M = W * H
+    n_ori = int(lm.shape[0])
+    C = n_ori * T * T
+    M_pad = -(-(M + max(W, 1)) // 4096) * 4096
+    rows_w = M_pad // 512
+    flat = _extend_lm_planes(lm, M, M_pad, C)
+    lmp = _pack_copies(flat, C, 4, rows_w)
+
+    inb = (bank.valid
+           & (bank.fx >= 0) & (bank.fx < w_img)
+           & (bank.fy >= 0) & (bank.fy < h_img))
+    plane = bank.label * (T * T) + (bank.fy % T) * T + (bank.fx % T)
+    plane = jnp.where(inb, plane, C)
+    shift = jnp.where(inb, (bank.fy // T) * W + bank.fx // T, 0)
+    nf = jnp.where(bank.valid.any(axis=1), bank.nfeat, 0).astype(jnp.int32)
+    unroll = _unroll_for(rows_w)
+    PB = 63 // unroll
+    meta = _build_meta(plane, shift, nf, unit=4, copies=4, C=C,
+                       rows=rows_w, unroll=unroll)
+    positions = _positions(bank, T, W, H)
+    thr = jnp.stack([positions.astype(jnp.int32),
+                     rmin.astype(jnp.int32)], axis=1)
+
+    K = meta.shape[0]
+    G = min(_COARSE_GROUP, K)
+    Kp = -(-K // G) * G
+    meta = jnp.pad(meta, ((0, Kp - K), (0, 0), (0, 0)))
+    thr = jnp.concatenate(
+        [thr, jnp.tile(jnp.asarray([[0, 1 << 30]], jnp.int32),
+                       (Kp - K, 1))]) if Kp != K else thr
+    R, N1 = meta.shape[1], meta.shape[2]
+    words, cnt = pl.pallas_call(
+        _make_wide_kernel(unroll, PB, group=G, counted=(M,)),
+        grid=(Kp // G,),
+        in_specs=[
+            pl.BlockSpec((G, R, N1), lambda k: (k, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G, 2), lambda k: (k, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(lmp.shape, lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, 2, rows_w, 128), lambda k: (k, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, 128), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Kp, 2, rows_w, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Kp // G, G, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(meta, thr.reshape(Kp // G, G, 2), lmp)
+    kcnt = jnp.sum(cnt.reshape(Kp, 128)[:K], axis=1, dtype=jnp.int32)
+    return words[:K], kcnt, positions
+
+
 def chain_coarse_word_rows(lm: jnp.ndarray, bank: LevelBank, plan, desc,
                            T: int, size_wh,
                            interpret: bool | None = None):
@@ -781,12 +983,17 @@ def _chain_word_rows_counted(lm, bank, plan_meta, emit, T: int, size_wh,
     P = desc.n_programs
     positions = _positions(bank, T, W, H)
     # SMEM thr rows: (pos, rmin) at each template's output row; rows no
-    # template stores to keep the zero default (their counts are
-    # garbage anyway — callers mask by emit)
-    thr = jnp.zeros((P * desc.u_out, 2), jnp.int32).at[emit].set(
-        jnp.stack([positions.astype(jnp.int32),
-                   rmin.astype(jnp.int32)], axis=1)
-    ).reshape(P, desc.u_out, 2)
+    # template stores to get zeros (their counts are garbage anyway —
+    # callers mask by emit). Gather via the emit inverse, scatter-free
+    # (see similarity._invert_emit).
+    from ..similarity import _invert_emit
+
+    K = positions.shape[0]
+    row_tmpl, ref = _invert_emit(emit, P * desc.u_out, K)
+    rt_safe = jnp.minimum(row_tmpl, K - 1)
+    rows_pr = jnp.stack([positions.astype(jnp.int32),
+                         rmin.astype(jnp.int32)], axis=1)[rt_safe]
+    thr = jnp.where(ref[:, None], rows_pr, 0).reshape(P, desc.u_out, 2)
     words, cnt = pl.pallas_call(
         _make_chain_kernel(CHAIN_U, CHAIN_S, counted=(desc.unit, M)),
         grid=(P,),

@@ -370,6 +370,21 @@ def extract_candidates_cells(cells: jnp.ndarray, positions: jnp.ndarray,
                          t4n, None, T, W, C, M)
 
 
+def _invert_emit(emit: jnp.ndarray, R: int, K: int):
+    """Row -> template inverse of the strictly-increasing emit map,
+    scatter-free via searchsorted. Returns (row_tmpl [R] i32 with K at
+    rows no template stores to, hit [R] bool). The `.at[emit].set`
+    scatter this replaces crashes XLA:TPU's scatter-fusion pass at some
+    shapes (ScatterEmitter::ShouldFuseInputIntoScatter check failure,
+    observed at K=1000), and emit's strict monotonicity (asserted by
+    the planner) makes the binary-search inverse exact."""
+    r = jnp.arange(R, dtype=jnp.int32)
+    k = jnp.searchsorted(emit.astype(jnp.int32), r).astype(jnp.int32)
+    k_safe = jnp.minimum(k, K - 1)
+    hit = (k < K) & (emit[k_safe] == r)
+    return jnp.where(hit, k_safe, K), hit
+
+
 @partial(jax.jit, static_argnames=("T", "W", "C", "M"))
 def extract_candidates_chain(rows_cells: jnp.ndarray, emit: jnp.ndarray,
                              positions: jnp.ndarray, nfeat: jnp.ndarray,
@@ -392,8 +407,7 @@ def extract_candidates_chain(rows_cells: jnp.ndarray, emit: jnp.ndarray,
     passable = rmin <= cell_max                      # [K]
     quirk = rmin <= 0                                # [K]
     big = jnp.full((1,), 1 << 30, jnp.int32)
-    row_tmpl = jnp.full((R,), K, jnp.int32).at[emit].set(
-        jnp.arange(K, dtype=jnp.int32))
+    row_tmpl, _ = _invert_emit(emit, R, K)
     pos_row = jnp.concatenate(
         [positions.astype(jnp.int32), jnp.zeros((1,), jnp.int32)])[row_tmpl]
     rmin_row = jnp.concatenate([rmin, big])[row_tmpl]
@@ -562,8 +576,7 @@ def extract_candidates_chain_words(words: jnp.ndarray, emit: jnp.ndarray,
     passable = rmin <= cell_max
     quirk = rmin <= 0
     big = jnp.full((1,), 1 << 30, jnp.int32)
-    row_tmpl = jnp.full((R,), K, jnp.int32).at[emit].set(
-        jnp.arange(K, dtype=jnp.int32))
+    row_tmpl, _ = _invert_emit(emit, R, K)
     pos_row = jnp.concatenate(
         [positions.astype(jnp.int32), jnp.zeros((1,), jnp.int32)])[row_tmpl]
     rmin_row = jnp.concatenate([rmin, big])[row_tmpl]
@@ -610,13 +623,14 @@ def extract_candidates_chain_counted(words: jnp.ndarray,
     quirk = rmin <= 0
 
     # per-block (= per-template output row) counts; unstored rows hold
-    # garbage -> mask by emit
-    ref = jnp.zeros((R,), bool).at[emit].set(True)
+    # garbage -> mask by the emit inverse (scatter-free, see
+    # _invert_emit: the .at[emit] forms crash XLA:TPU scatter fusion at
+    # some shapes)
+    row_tmpl, ref = _invert_emit(emit, R, K)
+    rt_safe = jnp.minimum(row_tmpl, K - 1)
     live_cnt = jnp.where(ref, kcnt, 0)
     qcnt_k = jnp.where(quirk, M - jnp.clip(pos, 0, M), 0)
-    bcnt = live_cnt.at[emit].add(qcnt_k)
-    row_tmpl = jnp.full((R,), K, jnp.int32).at[emit].set(
-        jnp.arange(K, dtype=jnp.int32))
+    bcnt = live_cnt + jnp.where(ref, qcnt_k[rt_safe], 0)
     return _extract_counted_core(words, bcnt, live_cnt, row_tmpl, pos,
                                  rmin, t4n, unit, T, W, C, M)
 
@@ -642,22 +656,13 @@ def extract_candidates_words_counted(words: jnp.ndarray,
                                  t4n, unit, T, W, C, M)
 
 
-def _extract_counted_core(words, bcnt, live_cnt, row_tmpl, pos, rmin,
-                          t4n, unit: int, T: int, W: int, C: int,
-                          M: int):
-    """Shared tail of the counted extractions: two-level searchsorted
-    over per-template block counts, then a row->lane->sub-cell descent
-    over each candidate's own word tile. `row_tmpl=None` means rows ARE
-    templates (the plain kernel)."""
-    R, rows, lanes = words.shape
-    K = pos.shape[0]
-    bits = 32 // unit
-    vmask = (1 << bits) - 1
-
+def _searchsorted_blocks(bcnt: jnp.ndarray, C: int):
+    """Two-level searchsorted of C candidate slots over per-block
+    counts: returns (blk [C] block index clipped to R-1, rank [C] rank
+    within block, got [C] slot-live flags, n_above total count)."""
+    R = bcnt.shape[0]
     incl = jnp.cumsum(bcnt)
     n_above = incl[-1]
-
-    # two-level searchsorted over the R template rows
     ns = -(-R // 128)
     cnt_p = jnp.concatenate(
         [bcnt, jnp.zeros((ns * 128 - R,), jnp.int32)]) if ns * 128 != R \
@@ -674,11 +679,113 @@ def _extract_counted_core(words, bcnt, live_cnt, row_tmpl, pos, rmin,
     blk_rows = cnt_p.reshape(ns, 128)[sb_safe]       # [C, 128]
     blk_incl = jnp.cumsum(blk_rows, axis=1)
     bi = jnp.sum(blk_incl <= r1[:, None], axis=1, dtype=jnp.int32)
-    grow = sb_safe * 128 + jnp.minimum(bi, 127)      # template row
-    got &= grow < R
-    grow = jnp.minimum(grow, R - 1)
+    blk = sb_safe * 128 + jnp.minimum(bi, 127)
+    got &= blk < R
+    blk = jnp.minimum(blk, R - 1)
     blk_excl = blk_incl - blk_rows
-    r1 = r1 - blk_excl[jnp.arange(C), jnp.minimum(bi, 127)]
+    rank = r1 - blk_excl[jnp.arange(C), jnp.minimum(bi, 127)]
+    return blk, rank, got, n_above
+
+
+@partial(jax.jit, static_argnames=("T", "W", "C", "M"))
+def extract_candidates_wide_counted(words: jnp.ndarray,
+                                    kcnt: jnp.ndarray,
+                                    positions: jnp.ndarray,
+                                    nfeat: jnp.ndarray, threshold,
+                                    T: int, W: int, C: int, M: int):
+    """Counted extraction for the WIDE kernel's even/odd u16 layout.
+
+    `words` is [K, 2, rows, 128] i32 from
+    coarse_words_pallas_wide_counted: cell j of template k lives at
+    plane e = j%4 & 1 (0 = even bytes, 1 = odd), word (row, lane) =
+    divmod(j//4, 128), u16 half s = (j%4) >> 1 — i.e.
+    j = (row*128 + lane)*4 + 2*s + e. Same candidate order, same
+    returned values as every other extraction (template-major, j
+    ascending): the descent enumerates the four (s, e) sub-cells of a
+    word pair in j order (e0s0, e1s0, e0s1, e1s1)."""
+    K = nfeat.shape[0]
+    _, _, rows, lanes = words.shape
+    rmin, t4n = _rmin_for_threshold(nfeat, threshold)
+    pos = positions.astype(jnp.int32)
+    quirk = rmin <= 0
+    qcnt_k = jnp.where(quirk, M - jnp.clip(pos, 0, M), 0)
+    bcnt = kcnt + qcnt_k
+
+    grow, r1, got, n_above = _searchsorted_blocks(bcnt, C)
+    k = grow
+    pos_c = pos[k][:, None, None]                    # [C, 1, 1]
+    rmin_c = rmin[k][:, None, None]
+    lcnt_c = kcnt[grow]
+    is_quirk = r1 >= lcnt_c
+
+    # live candidates: row -> lane -> (s, e) descent over the
+    # candidate's own word pair tile, recomputing the SAME live-pass
+    # predicate the kernel counted so ranks align exactly
+    gw = words[grow]                                 # [C, 2, rows, 128]
+    tr = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    ln = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    jb4 = ((tr * lanes) + ln) * 4                    # [rows, 128]
+    c_w = jnp.zeros((C, rows, lanes), jnp.int32)
+    for e in range(2):
+        for s in range(2):
+            v = (gw[:, e] >> (16 * s)) & 0xFFFF
+            c_w += ((jb4[None] + (2 * s + e) < pos_c)
+                    & (v >= rmin_c)).astype(jnp.int32)
+    r1l = jnp.where(is_quirk, 0, r1)
+    row_sum = jnp.sum(c_w, axis=2, dtype=jnp.int32)  # [C, rows]
+    row_incl = jnp.cumsum(row_sum, axis=1)
+    rp = jnp.sum(row_incl <= r1l[:, None], axis=1, dtype=jnp.int32)
+    rp_c = jnp.minimum(rp, rows - 1)
+    ar = jnp.arange(C)
+    r2 = r1l - (row_incl[ar, rp_c] - row_sum[ar, rp_c])
+    c_row = c_w[ar, rp_c]                            # [C, 128]
+    lane_incl = jnp.cumsum(c_row, axis=1)
+    lp = jnp.sum(lane_incl <= r2[:, None], axis=1, dtype=jnp.int32)
+    lp_c = jnp.minimum(lp, lanes - 1)
+    r3 = r2 - (lane_incl[ar, lp_c] - c_row[ar, lp_c])
+    w_e = gw[ar, 0, rp_c, lp_c]                      # [C] even-byte word
+    w_o = gw[ar, 1, rp_c, lp_c]
+    jw = ((rp_c * lanes) + lp_c) * 4
+    sflags = []
+    svals = []
+    for d in range(4):                               # j offset = d
+        e, s = d & 1, d >> 1
+        v = ((w_o if e else w_e) >> (16 * s)) & 0xFFFF
+        svals.append(v)
+        sflags.append((jw + d < pos[k]) & (v >= rmin[k]))
+    s_incl = jnp.cumsum(jnp.stack(sflags, axis=1).astype(jnp.int32),
+                        axis=1)
+    sp = jnp.sum(s_incl <= r3[:, None], axis=1, dtype=jnp.int32)
+    s_safe = jnp.minimum(sp, 3)
+    jj_live = jw + s_safe
+    raw_live = jnp.take_along_axis(jnp.stack(svals, axis=1),
+                                   s_safe[:, None], axis=1)[:, 0]
+
+    # quirk candidates: cells [clip(pos,0,M), M) in order, raw score 0
+    jq = jnp.clip(pos[k], 0, M) + (r1 - lcnt_c)
+    jj = jnp.where(is_quirk, jq, jj_live)
+    raw = jnp.where(is_quirk, 0, raw_live)
+
+    sc = (raw * 100).astype(jnp.float32) / t4n[k]
+    offset = T // 2 + (T % 2 - 1)
+    x = (jj % W) * T + offset
+    y = (jj // W) * T + offset
+    return k, x, y, sc, got, n_above
+
+
+def _extract_counted_core(words, bcnt, live_cnt, row_tmpl, pos, rmin,
+                          t4n, unit: int, T: int, W: int, C: int,
+                          M: int):
+    """Shared tail of the counted extractions: two-level searchsorted
+    over per-template block counts, then a row->lane->sub-cell descent
+    over each candidate's own word tile. `row_tmpl=None` means rows ARE
+    templates (the plain kernel)."""
+    R, rows, lanes = words.shape
+    K = pos.shape[0]
+    bits = 32 // unit
+    vmask = (1 << bits) - 1
+
+    grow, r1, got, n_above = _searchsorted_blocks(bcnt, C)
 
     if row_tmpl is None:
         k = grow
@@ -790,9 +897,17 @@ def coarse_extract_dispatch(lm, lmflat, bank: LevelBank, T: int, size_wh,
                 chain_desc.unit, T, W, cand_cap, M)
         if counted_extract_enabled():
             from .pallas.similarity_pallas import (
-                coarse_words_pallas_counted)
+                coarse_words_pallas_counted,
+                coarse_words_pallas_wide_counted)
 
             rmin, _ = _rmin_for_threshold(bank.nfeat, threshold)
+            resw = coarse_words_pallas_wide_counted(lm, bank, T,
+                                                    size_wh, rmin)
+            if resw is not None:
+                words, kcnt, positions = resw
+                return extract_candidates_wide_counted(
+                    words, kcnt, positions, bank.nfeat, threshold,
+                    T, W, cand_cap, M)
             resc = coarse_words_pallas_counted(lm, bank, T, size_wh,
                                                rmin)
             if resc is not None:

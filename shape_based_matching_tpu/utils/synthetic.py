@@ -42,13 +42,29 @@ def synthetic_scene(h: int, w: int, templ: np.ndarray, n_instances: int = 3,
     return scene
 
 
+def synthetic_block_noise_image(size: int = 512, block: int = 4,
+                                seed: int = 0) -> np.ndarray:
+    """Binary block noise: strong edges EVERYWHERE — the only synthetic
+    texture dense enough to saturate the fork's 8191-feature mode
+    (README.md:45; a polygon outline tops out near ~2k candidates)."""
+    rng = np.random.RandomState(seed)
+    blocks = (rng.rand(size // block, size // block) > 0.5)
+    img = np.kron(blocks, np.ones((block, block), bool))
+    return np.where(img, 220, 30).astype(np.uint8)
+
+
 def build_rotated_detector(num_templates: int = 360, num_features: int = 63,
-                           T=(4, 8), size: int = 256, seed: int = 0):
-    """Detector with one trained template + (num_templates-1) rotations."""
+                           T=(4, 8), size: int = 256, seed: int = 0,
+                           dense: bool = False):
+    """Detector with one trained template + (num_templates-1) rotations.
+
+    `dense=True` trains on block noise instead of the star polygon —
+    feature-saturated templates for wide-feature (up to 8191) configs."""
     from ..models.detector import Detector
 
     det = Detector(num_features=num_features, T=T)
-    templ_img = synthetic_shape_image(size, seed)
+    templ_img = (synthetic_block_noise_image(size, seed=seed) if dense
+                 else synthetic_shape_image(size, seed))
     mask = np.full_like(templ_img, 255)
     tid = det.add_template(templ_img, "bench", mask)
     assert tid == 0, "synthetic template training failed"
