@@ -287,6 +287,38 @@ def _measure_production_batch(num_templates: int = 1000,
     return best
 
 
+def _measure_production_onecall(num_templates: int = 1000,
+                                num_features: int = 128,
+                                iters: int = 10):
+    """The one-sync deployment API (Detector.match_icp): same flow and
+    host-dict output as _measure_production_batch but with ONE blocking
+    device->host sync per frame instead of two — candidate selection
+    and template-point gathering stay on device
+    (models/icp.py:match_icp). The production_batch - production_onecall
+    gap is one tunnel round trip per frame."""
+    import jax
+
+    from shape_based_matching_tpu.utils.synthetic import (
+        build_rotated_detector, synthetic_scene)
+
+    det, templ_img = build_rotated_detector(num_templates=num_templates,
+                                            num_features=num_features)
+    frame = synthetic_scene(1024, 1024, templ_img, n_instances=4, seed=7)
+    dev_frame = jax.device_put(frame)
+    jax.block_until_ready(dev_frame)
+
+    res = det.match_icp(dev_frame, 85.0, top_c=32)  # compile
+    assert res, "one-sync production flow found no matches"
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            det.match_icp(dev_frame, 85.0, top_c=32)
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
 def _measure_production_device(num_templates: int = 1000,
                                num_features: int = 128,
                                iters: int = 20):
@@ -391,6 +423,7 @@ _METRICS = {
     "bank_build_10k": lambda: _measure_bank_build(10000),
     "icp_refine": lambda: _measure_icp(64),
     "production_batch": lambda: _measure_production_batch(1000, 128),
+    "production_onecall": lambda: _measure_production_onecall(1000, 128),
     "production_device": lambda: _measure_production_device(1000, 128),
 }
 
@@ -410,6 +443,7 @@ _DETAIL_ORDER = [
     ("wide8191", 60),
     ("e2e10000", 60),
     ("production_device", 60),
+    ("production_onecall", 60),
     ("production_batch", 60),
     ("train_sweep", 60),
     ("bank_build_10k", 90),
@@ -477,6 +511,8 @@ def _detail_from_vals(vals: dict, skipped: list) -> dict:
     put("icp_refine_64matches_1024x1024_e2e_ms", vals.get("icp_refine"), 3)
     put("production_batch_1000t_128f_match_icp_ms",
         vals.get("production_batch"), 3)
+    put("production_onecall_1000t_128f_match_icp_ms",
+        vals.get("production_onecall"), 3)
     put("production_device_1000t_128f_match_icp_ms",
         vals.get("production_device"), 3)
     if vals.get("e2e360") is not None:

@@ -21,7 +21,7 @@ __version__ = "0.1.0"
 
 from .models.detector import Detector, Match, get_instance, reset_instance
 from .models.refine import RefinedPose, refine_detections
-from .models.icp import IcpResult, refine_matches_icp
+from .models.icp import IcpResult, match_icp, refine_matches_icp
 from .models.template import Feature, Template
 from .models.shape_info import ShapeInfoProducer
 from .utils.nms import nms_boxes
@@ -35,6 +35,7 @@ __all__ = [
     "RefinedPose",
     "refine_detections",
     "refine_matches_icp",
+    "match_icp",
     "IcpResult",
     "get_instance",
     "reset_instance",

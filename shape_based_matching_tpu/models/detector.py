@@ -974,6 +974,20 @@ class Detector:
             out.append(_sort_dedup(frame_matches))
         return out
 
+    def match_icp(self, source, threshold: float, class_ids=None,
+                  top_c: int = 32, iters: int = 12, radius: int = 8,
+                  cand_cap: int = 256):
+        """Detect + subpixel/ICP-refine in ONE device->host sync — the
+        deployment-loop API. Returns refine_matches_icp-schema dicts
+        sorted by similarity. See models/icp.py:match_icp for why this
+        halves the per-frame tunnel-sync cost vs match() followed by
+        refine_matches_icp()."""
+        from .icp import match_icp as _match_icp
+
+        return _match_icp(self, source, threshold, class_ids,
+                          top_c=top_c, iters=iters, radius=radius,
+                          cand_cap=cand_cap)
+
     def _run_batch_group(self, lms, banks, threshold, sizes,
                          cand_cap: int, distinct_cap: int,
                          use_pallas: bool):
@@ -1278,6 +1292,11 @@ class Detector:
         for key in [k for k in self._merged_banks if class_id in k]:
             for b in self._merged_banks.pop(key)[0]:
                 self._drop_bank_caches(b)
+        # per-template ICP point arrays (models/icp.py) follow the banks
+        icp_pts = getattr(self, "_icp_pts", None)
+        if icp_pts:
+            for key in [k for k in icp_pts if k[0] == class_id]:
+                del icp_pts[key]
 
     def _get_merged_banks(self, class_ids: tuple):
         """One LevelBank spanning several classes. matchClass is

@@ -260,6 +260,43 @@ def icp_refine_points(off, normal, has, subpix, pts, origins, pt_valid,
     return IcpResult(*outs)
 
 
+@jax.jit
+def _pack_icp_result(res: IcpResult):
+    """Stack the 7 per-match fields into ONE [7, C] f32 array so the
+    host pays a single D2H transfer. jax.device_get on the NamedTuple
+    pulls 7 leaves = 7 tunnel round trips — measured ~26 ms of the
+    78 ms host deployment loop (tools/profile_production.py, v5e).
+    inliers is an int32 feature count <= 8191, exact in f32."""
+    return jnp.stack([res.dtheta_deg, res.dscale, res.tx, res.ty,
+                      res.rmse, res.inliers.astype(jnp.float32),
+                      res.valid.astype(jnp.float32)])
+
+
+def _template_icp_points(detector, class_id: str, template_id: int):
+    """Level-0 feature coordinates of one template as a [n, 2] f32
+    array, cached on the detector (keyed (class_id, template_id);
+    Detector._invalidate_banks drops the class's entries on retrain).
+    The per-feature Python loop this replaces cost ~3.8 ms per
+    32-match refine call (tools/profile_production.py)."""
+    import numpy as np
+
+    cache = getattr(detector, "_icp_pts", None)
+    if cache is None:
+        cache = {}
+        try:
+            detector._icp_pts = cache
+        except AttributeError:
+            pass
+    key = (class_id, template_id)
+    pts = cache.get(key)
+    if pts is None:
+        feats = detector.get_templates(class_id, template_id)[0].features
+        pts = np.array([(f.x, f.y) for f in feats],
+                       np.float32).reshape(-1, 2)
+        cache[key] = pts
+    return pts
+
+
 def refine_matches_icp(detector, source, matches, iters: int = 12,
                        radius: int = 8):
     """Host convenience: sim2-refine a list of LINE-2D Matches against
@@ -282,35 +319,35 @@ def refine_matches_icp(detector, source, matches, iters: int = 12,
     off, normal, edge, has, subpix = edge_nearest_field(
         src, detector._f32(detector.weak_threshold), radius)
 
-    N = max(len(detector.get_templates(m.class_id, m.template_id)[0]
-                .features) for m in matches)
+    # the edge-field programs run while the host packs template points
+    plist = [_template_icp_points(detector, m.class_id, m.template_id)
+             for m in matches]
+    N = max(p.shape[0] for p in plist)
     C = len(matches)
     pts = np.zeros((C, N, 2), np.float32)
     pv = np.zeros((C, N), bool)
-    origins = np.zeros((C, 2), np.float32)
-    for i, m in enumerate(matches):
-        t0 = detector.get_templates(m.class_id, m.template_id)[0]
-        for j, f in enumerate(t0.features):
-            pts[i, j] = (f.x, f.y)
-            pv[i, j] = True
-        origins[i] = (m.x, m.y)
+    for i, p in enumerate(plist):
+        pts[i, :p.shape[0]] = p
+        pv[i, :p.shape[0]] = True
+    origins = np.array([(m.x, m.y) for m in matches], np.float32)
     res = icp_refine_points(off, normal, has, subpix, jnp.asarray(pts),
                             jnp.asarray(origins), jnp.asarray(pv),
                             iters=iters, radius=radius)
-    # ONE device->host transfer for the whole result struct; per-scalar
-    # float(res.x[i]) pulls pay the tunnel round trip C*7 times over.
-    res = jax.device_get(res)
+    # ONE device->host transfer for the whole result struct; per-leaf
+    # device_get (let alone per-scalar float(res.x[i]) pulls) pays the
+    # tunnel round trip once per field.
+    host = np.asarray(_pack_icp_result(res))
     out = []
     for i, m in enumerate(matches):
         out.append({
             "match": m,
-            "dtheta_deg": float(res.dtheta_deg[i]),
-            "dscale": float(res.dscale[i]),
-            "tx": float(res.tx[i]),
-            "ty": float(res.ty[i]),
-            "rmse": float(res.rmse[i]),
-            "inliers": int(res.inliers[i]),
-            "valid": bool(res.valid[i]),
+            "dtheta_deg": float(host[0, i]),
+            "dscale": float(host[1, i]),
+            "tx": float(host[2, i]),
+            "ty": float(host[3, i]),
+            "rmse": float(host[4, i]),
+            "inliers": int(host[5, i]),
+            "valid": bool(host[6, i]),
         })
     return out
 
@@ -348,6 +385,120 @@ def refine_packed_candidates(off, normal, has, subpix, bank_fx, bank_fy,
                             min_inliers=min_inliers)
     res = res._replace(valid=res.valid & jnp.isfinite(top_sc))
     return res, kk, ox, oy, top_sc
+
+
+@jax.jit
+def _pack_refined_classes(groups):
+    """Pack per-class refined outputs into ONE [n_cls, 13, top_c] f32
+    tensor for a single device->host sync. Rows: IcpResult's 7 fields,
+    then template id, origin x, origin y, LINE-2D score, a live flag
+    (isfinite(score)), and the class overflow flag broadcast. Integer
+    fields (ids <= 2^24, pixel origins) are exact in f32."""
+    rows = []
+    for (res, kk, ox, oy, sc, ovf) in groups:
+        rows.append(jnp.stack([
+            res.dtheta_deg, res.dscale, res.tx, res.ty, res.rmse,
+            res.inliers.astype(jnp.float32),
+            res.valid.astype(jnp.float32),
+            kk.astype(jnp.float32),
+            ox.astype(jnp.float32),
+            oy.astype(jnp.float32),
+            jnp.where(jnp.isfinite(sc), sc, jnp.float32(-1.0)),
+            jnp.isfinite(sc).astype(jnp.float32),
+            jnp.broadcast_to(ovf.astype(jnp.float32), kk.shape),
+        ]))
+    return jnp.stack(rows)
+
+
+def match_icp(detector, source, threshold: float, class_ids=None,
+              top_c: int = 32, iters: int = 12, radius: int = 8,
+              cand_cap: int = 256):
+    """ONE-SYNC deployment loop: detect + subpixel/ICP-refine a frame
+    and return host dicts (the refine_matches_icp schema) in a single
+    device->host round trip.
+
+    The 1:1 port of the reference's jabil flow (test_jabil.cpp:121-312)
+    — det.match() then refine_matches_icp(matches[:N]) — blocks on the
+    tunnel TWICE per frame: once to pull match candidates (the host
+    needs them to build the ICP inputs) and once to pull poses. Each
+    blocking sync costs whatever the tunnel's round-trip latency is
+    that session (measured 3-25 ms; tools/profile_production.py), so
+    the two-sync shape dominates the loop. This keeps candidate
+    selection (lax.top_k) and template-point gathering (LevelBank rows)
+    on device — refine_packed_candidates — and pulls match + pose
+    results together.
+
+    Selection differs from the host flow in one way: `top_c` highest-
+    score candidates are refined PER CLASS (device top-k), where the
+    host flow typically slices one global sorted list. Results come
+    back sorted by (similarity desc, template_id) across classes.
+
+    A class whose candidate count overflows `cand_cap` falls back to
+    the exact two-sync path for that class (rare; identical results).
+    """
+    import numpy as np
+
+    from .detector import Match, _sort_dedup
+
+    if not isinstance(source, jax.Array):
+        source = jnp.asarray(np.asarray(source))
+    if source.ndim != 2:
+        raise ValueError("match_icp expects a gray [H, W] frame")
+    packed = detector.match_batch(source[None], threshold, class_ids,
+                                  cand_cap=cand_cap, as_matches=False)
+    if not packed:
+        return []
+    wt = detector._f32(detector.weak_threshold)
+    off, normal, _edge, has, subpix = edge_nearest_field(
+        source, wt, radius)
+
+    cids = list(packed.keys())
+    groups = []
+    for cid in cids:
+        k, x, y, sc, valid, overflow = packed[cid]
+        bank0 = detector._get_banks(cid)[0]
+        res, kk, ox, oy, top_sc = refine_packed_candidates(
+            off, normal, has, subpix, bank0.fx, bank0.fy, bank0.valid,
+            k[0], x[0], y[0], sc[0], valid[0], top_c=top_c,
+            iters=iters, radius=radius)
+        groups.append((res, kk, ox, oy, top_sc, overflow[0]))
+
+    from ..utils.dispatch import count as _dispatch_count
+
+    _dispatch_count("d2h_pulls")
+    host = np.asarray(_pack_refined_classes(tuple(groups)))  # ONE sync
+
+    out = []
+    for ci, cid in enumerate(cids):
+        if host[ci, 12, 0] >= 0.5:
+            # overflow: exact escalating fallback for this class only
+            matches = detector.match(source, threshold, [cid])
+            out.extend(refine_matches_icp(detector, source,
+                                          matches[:top_c],
+                                          iters=iters, radius=radius))
+            continue
+        seen = set()
+        for j in range(host.shape[2]):
+            if host[ci, 11, j] < 0.5:
+                continue  # dead top-k slot (fewer than top_c candidates)
+            m = Match(int(host[ci, 8, j]), int(host[ci, 9, j]),
+                      float(host[ci, 10, j]), cid, int(host[ci, 7, j]))
+            key = (m.x, m.y, m.similarity, m.class_id, m.template_id)
+            if key in seen:  # duplicates _sort_dedup would collapse
+                continue
+            seen.add(key)
+            out.append({
+                "match": m,
+                "dtheta_deg": float(host[ci, 0, j]),
+                "dscale": float(host[ci, 1, j]),
+                "tx": float(host[ci, 2, j]),
+                "ty": float(host[ci, 3, j]),
+                "rmse": float(host[ci, 4, j]),
+                "inliers": int(host[ci, 5, j]),
+                "valid": bool(host[ci, 6, j] >= 0.5),
+            })
+    out.sort(key=lambda d: d["match"].sort_key())
+    return out
 
 
 def match_refine_batch(detector, frames, threshold: float, class_ids=None,

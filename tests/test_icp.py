@@ -205,3 +205,55 @@ def test_match_refine_batch_device_pipeline():
         assert abs(host["dscale"] - float(icp.dscale[i])) < 1e-4
         assert abs(host["tx"] - float(icp.tx[i])) < 1e-2
         assert abs(host["ty"] - float(icp.ty[i])) < 1e-2
+
+def test_match_icp_one_sync_matches_host_path():
+    """match_icp (the one-sync deployment API) must agree with the
+    two-sync flow (match -> refine_matches_icp) on the same frame:
+    same match set, same poses."""
+    from shape_based_matching_tpu.models.icp import match_icp
+    from shape_based_matching_tpu.utils.dispatch import measure
+
+    templ_img = synthetic_shape_image(128, seed=6)
+    det = Detector(num_features=63)
+    det.add_template(templ_img, "s", np.full_like(templ_img, 255))
+    scene0 = np.full((256, 256), 12, np.uint8)
+    scene = _warp_into(scene0, templ_img, 2.5, 1.02, (61.0, 47.0))
+
+    got = det.match_icp(scene, 55.0, top_c=8)
+    assert got
+
+    matches = det.match(scene, 55.0)
+    want = refine_matches_icp(det, scene, matches[:8])
+    want_set = {(r["match"].x, r["match"].y, r["match"].similarity,
+                 r["match"].template_id) for r in want}
+    got_set = {(r["match"].x, r["match"].y, r["match"].similarity,
+                r["match"].template_id) for r in got}
+    # same candidates modulo equal-score selection-order ties at the cut
+    assert got_set & want_set, (got_set, want_set)
+    by_key = {(r["match"].x, r["match"].y, r["match"].template_id): r
+              for r in want}
+    compared = 0
+    for r in got:
+        k = (r["match"].x, r["match"].y, r["match"].template_id)
+        if k not in by_key:
+            continue
+        w = by_key[k]
+        assert r["valid"] == w["valid"]
+        assert abs(r["dtheta_deg"] - w["dtheta_deg"]) < 1e-3
+        assert abs(r["dscale"] - w["dscale"]) < 1e-4
+        assert abs(r["tx"] - w["tx"]) < 1e-2
+        assert abs(r["ty"] - w["ty"]) < 1e-2
+        compared += 1
+    assert compared >= 1
+    # sorted by similarity desc (template_id tiebreak)
+    keys = [r["match"].sort_key() for r in got]
+    assert keys == sorted(keys)
+
+    # the contract this API exists for: ONE D2H sync per warm call
+    # (the packed pull), independent of class/candidate counts
+    # (d2h_pulls = the explicit marks; d2h_total = the on-chip hook,
+    # which CPU's zero-copy numpy reads bypass)
+    with measure(transfers=True) as counts:
+        det.match_icp(scene, 55.0, top_c=8)
+    assert counts.get("d2h_pulls", 0) == 1, counts
+    assert counts.get("d2h_total", 0) <= 1, counts

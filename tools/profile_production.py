@@ -32,7 +32,8 @@ def main():
     num_templates = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     num_features = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
-    from shape_based_matching_tpu.models.icp import (edge_nearest_field,
+    from shape_based_matching_tpu.models.icp import (_pack_icp_result,
+                                                     edge_nearest_field,
                                                      icp_refine_points,
                                                      refine_matches_icp)
     from shape_based_matching_tpu.models.detector import _sort_dedup
@@ -104,8 +105,10 @@ def main():
                               iters=12, radius=8)
         jax.block_until_ready(r)
         t = rec("icp", t)
+        np.asarray(_pack_icp_result(r))
+        t = rec("pull_packed", t)
         jax.device_get(r)
-        t = rec("pull", t)
+        t = rec("pull_7leaf", t)
     total = sum(stages.values())
     print(f"\nstage walls (min over 10 reps), sum {total:.2f} ms:")
     for k, v in sorted(stages.items(), key=lambda kv: -kv[1]):
