@@ -179,7 +179,12 @@ def _measure_train_sweep(n_frames: int = 128, size: int = 256):
     frames = np.stack([synthetic_shape_image(size, seed=1000 + i)
                        for i in range(n_frames)])
     det = Detector(num_features=63)
-    det.add_templates(frames[:4], "warm")  # compile the chunk shapes
+    # warm the REAL chunk shape (add_templates chunks at 64): a [4,...]
+    # warm leaves the [64,...] programs compiling inside the timed
+    # sweep, which dominated the wall (8.9 s cold vs 1.7 s warm,
+    # tools/profile_train_sweep.py) and made the metric a compile
+    # benchmark, not a training-throughput one.
+    det.add_templates(frames[:min(64, n_frames)], "warm")
     t0 = time.perf_counter()
     ids = det.add_templates(frames, "bench")
     dt = time.perf_counter() - t0

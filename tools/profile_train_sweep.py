@@ -40,12 +40,20 @@ def main():
     det = Detector(num_features=63)
     det.add_templates(frames[:4], "warm")  # compile chunk shapes
 
-    # full sweep wall (matches bench.py train_sweep)
+    # full sweep wall (matches bench.py train_sweep). The warm call
+    # above compiles CHUNK-4 shapes only; the first full sweep compiles
+    # the chunk-64 programs, so sweep #2 isolates the warm cost.
     t0 = time.perf_counter()
     ids = det.add_templates(frames, "bench")
     full = time.perf_counter() - t0
     assert all(i >= 0 for i in ids)
-    print(f"full add_templates: {full:.2f} s "
+    print(f"full add_templates (cold 64-chunk shapes): {full:.2f} s "
+          f"({n_frames / full:.1f} templates/s)")
+    t0 = time.perf_counter()
+    ids = det.add_templates(frames, "bench2")
+    full = time.perf_counter() - t0
+    assert all(i >= 0 for i in ids)
+    print(f"full add_templates (warm):  {full:.2f} s "
           f"({n_frames / full:.1f} templates/s)")
 
     # ---- replicate the sweep with stage timers ----
