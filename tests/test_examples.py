@@ -31,3 +31,9 @@ def test_multichip_example_subprocess():
     r = _run(["examples/multichip_match.py", "4"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "sharded == single-device" in r.stdout
+
+
+def test_deployment_loop_example():
+    import examples.deployment_loop as ex
+
+    ex.main(n_frames=1, num_templates=24, hw=256)
