@@ -9,6 +9,10 @@ APIs (same results, docs/SCALING.md "Composition and deployment"):
   1 sync   det.match_icp()                       one-call detect+refine:
            candidate top-k + template points stay on device, match and
            pose results pull together
+  1 sync,  det.match_icp_async()                 pipelined: dispatch
+  hidden                                         frame N+1 before pulling
+                                                 frame N — compute hides
+                                                 under the previous sync
   0/frame  match_refine_batch()                  device-complete; sync
            once per batch, whenever the consumer wants
 
@@ -44,6 +48,18 @@ def main(n_frames: int = 3, num_templates: int = 90, hw: int = 512) -> None:
     def one_sync():
         return det.match_icp(frame, 85.0, top_c=16)
 
+    # --- tier 2b: pipelined per-frame (dispatch N+1, then pull N) -----
+    def pipelined(n):
+        out = []
+        prev = None
+        for _ in range(n):
+            h = det.match_icp_async(frame, 85.0, top_c=16)
+            if prev is not None:
+                out.append(prev.result())
+            prev = h
+        out.append(prev.result())
+        return out
+
     # --- tier 3: device-complete; pull once at the end ----------------
     def device_complete(n):
         outs = [match_refine_batch(det, frame[None], 85.0, top_c=16)
@@ -53,6 +69,8 @@ def main(n_frames: int = 3, num_templates: int = 90, hw: int = 512) -> None:
     ref = host_loop()          # also compiles everything
     assert ref, "no detections in the synthetic scene"
     got = one_sync()
+    piped = pipelined(2)
+    assert all(p == got for p in piped), "pipelined results differ"
     dev = device_complete(1)
 
     # all three agree on the top pose
@@ -72,6 +90,7 @@ def main(n_frames: int = 3, num_templates: int = 90, hw: int = 512) -> None:
                                                    for _ in range(n_frames)]),
                      ("1-sync match_icp", lambda: [one_sync()
                                                    for _ in range(n_frames)]),
+                     ("pipelined async", lambda: pipelined(n_frames)),
                      ("device-complete", lambda: device_complete(n_frames))]:
         t0 = time.perf_counter()
         fn()

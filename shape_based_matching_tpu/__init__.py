@@ -21,7 +21,8 @@ __version__ = "0.1.0"
 
 from .models.detector import Detector, Match, get_instance, reset_instance
 from .models.refine import RefinedPose, refine_detections
-from .models.icp import IcpResult, match_icp, refine_matches_icp
+from .models.icp import (IcpResult, MatchIcpHandle, match_icp,
+                         match_icp_async, refine_matches_icp)
 from .models.template import Feature, Template
 from .models.shape_info import ShapeInfoProducer
 from .utils.nms import nms_boxes
@@ -36,6 +37,8 @@ __all__ = [
     "refine_detections",
     "refine_matches_icp",
     "match_icp",
+    "match_icp_async",
+    "MatchIcpHandle",
     "IcpResult",
     "get_instance",
     "reset_instance",

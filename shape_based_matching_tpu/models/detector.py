@@ -988,6 +988,19 @@ class Detector:
                           top_c=top_c, iters=iters, radius=radius,
                           cand_cap=cand_cap)
 
+    def match_icp_async(self, source, threshold: float, class_ids=None,
+                        top_c: int = 32, iters: int = 12, radius: int = 8,
+                        cand_cap: int = 256):
+        """Non-blocking match_icp: returns a MatchIcpHandle whose
+        .result() does the one sync — lets a streaming loop overlap
+        frame N's device compute with frame N-1's pull. See
+        models/icp.py:match_icp_async for the pipelined-loop shape."""
+        from .icp import match_icp_async as _match_icp_async
+
+        return _match_icp_async(self, source, threshold, class_ids,
+                                top_c=top_c, iters=iters, radius=radius,
+                                cand_cap=cand_cap)
+
     def _run_batch_group(self, lms, banks, threshold, sizes,
                          cand_cap: int, distinct_cap: int,
                          use_pallas: bool):

@@ -436,9 +436,23 @@ def match_icp(detector, source, threshold: float, class_ids=None,
     A class whose candidate count overflows `cand_cap` falls back to
     the exact two-sync path for that class (rare; identical results).
     """
-    import numpy as np
+    source, cids, dev = _match_icp_dispatch(
+        detector, source, threshold, class_ids, top_c=top_c,
+        iters=iters, radius=radius, cand_cap=cand_cap)
+    return _match_icp_collect(detector, source, cids, dev, threshold,
+                              top_c=top_c, iters=iters, radius=radius)
 
-    from .detector import Match, _sort_dedup
+
+def _match_icp_dispatch(detector, source, threshold: float, class_ids=None,
+                        top_c: int = 32, iters: int = 12, radius: int = 8,
+                        cand_cap: int = 256):
+    """Dispatch phase of match_icp: enqueue every device program for a
+    frame (match, edge field, per-class refine, result packing) and
+    return without blocking on the device. Returns (source_dev, cids,
+    packed_device_tensor) — the tensor is `_pack_refined_classes`'s
+    [n_cls, 13, top_c] layout, still on device; cids == [] means no
+    trained classes."""
+    import numpy as np
 
     if not isinstance(source, jax.Array):
         source = jnp.asarray(np.asarray(source))
@@ -447,7 +461,7 @@ def match_icp(detector, source, threshold: float, class_ids=None,
     packed = detector.match_batch(source[None], threshold, class_ids,
                                   cand_cap=cand_cap, as_matches=False)
     if not packed:
-        return []
+        return source, [], None
     wt = detector._f32(detector.weak_threshold)
     off, normal, _edge, has, subpix = edge_nearest_field(
         source, wt, radius)
@@ -462,11 +476,24 @@ def match_icp(detector, source, threshold: float, class_ids=None,
             k[0], x[0], y[0], sc[0], valid[0], top_c=top_c,
             iters=iters, radius=radius)
         groups.append((res, kk, ox, oy, top_sc, overflow[0]))
+    return source, cids, _pack_refined_classes(tuple(groups))
+
+
+def _match_icp_collect(detector, source, cids, dev, threshold: float,
+                       top_c: int = 32, iters: int = 12, radius: int = 8):
+    """Collect phase of match_icp: the ONE blocking device->host sync
+    plus host-side decoding (Match objects, overflow fallback, sort)."""
+    import numpy as np
+
+    from .detector import Match
+
+    if not cids:
+        return []
 
     from ..utils.dispatch import count as _dispatch_count
 
     _dispatch_count("d2h_pulls")
-    host = np.asarray(_pack_refined_classes(tuple(groups)))  # ONE sync
+    host = np.asarray(dev)  # ONE sync
 
     out = []
     for ci, cid in enumerate(cids):
@@ -499,6 +526,65 @@ def match_icp(detector, source, threshold: float, class_ids=None,
             })
     out.sort(key=lambda d: d["match"].sort_key())
     return out
+
+
+class MatchIcpHandle:
+    """In-flight match_icp result: the device programs are already
+    enqueued; `.result()` performs the one blocking device->host sync
+    and host decode (memoized). Lets a streaming loop overlap frame
+    N's device compute with frame N-1's result pull — see
+    match_icp_async."""
+
+    __slots__ = ("_detector", "_source", "_cids", "_dev", "_args",
+                 "_result")
+
+    def __init__(self, detector, source, cids, dev, args):
+        self._detector = detector
+        self._source = source
+        self._cids = cids
+        self._dev = dev
+        self._args = args
+        self._result = None
+
+    def result(self):
+        """Block on the one device->host sync; returns the match_icp
+        result list (same schema, memoized)."""
+        if self._result is None:
+            threshold, top_c, iters, radius = self._args
+            self._result = _match_icp_collect(
+                self._detector, self._source, self._cids, self._dev,
+                threshold, top_c=top_c, iters=iters, radius=radius)
+            self._detector = self._source = self._dev = None  # free
+        return self._result
+
+
+def match_icp_async(detector, source, threshold: float, class_ids=None,
+                    top_c: int = 32, iters: int = 12, radius: int = 8,
+                    cand_cap: int = 256):
+    """Non-blocking match_icp: dispatch every device program for this
+    frame and return a MatchIcpHandle immediately (zero host syncs —
+    JAX dispatch is async; the device works while the host moves on).
+
+    The per-frame deployment cost model is `device compute +
+    n_blocking_syncs x sync latency` (docs/SCALING.md). match_icp pays
+    1 sync SERIALLY after compute; a pipelined loop hides compute under
+    the previous frame's sync:
+
+        prev = None
+        for frame in stream:
+            h = det.match_icp_async(frame, thr)
+            if prev is not None:
+                consume(prev.result())   # frame N computes during this
+            prev = h
+        consume(prev.result())
+
+    Results are identical to match_icp (same programs, same one-sync
+    collect — tests/test_icp.py pins parity)."""
+    source, cids, dev = _match_icp_dispatch(
+        detector, source, threshold, class_ids, top_c=top_c,
+        iters=iters, radius=radius, cand_cap=cand_cap)
+    return MatchIcpHandle(detector, source, cids, dev,
+                          (threshold, top_c, iters, radius))
 
 
 def match_refine_batch(detector, frames, threshold: float, class_ids=None,

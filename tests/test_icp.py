@@ -257,3 +257,43 @@ def test_match_icp_one_sync_matches_host_path():
         det.match_icp(scene, 55.0, top_c=8)
     assert counts.get("d2h_pulls", 0) == 1, counts
     assert counts.get("d2h_total", 0) <= 1, counts
+
+def test_match_icp_async_parity_and_sync_contract():
+    """match_icp_async must (a) return results identical to match_icp,
+    (b) perform ZERO blocking D2H syncs at dispatch time, and (c) pay
+    exactly the one packed pull at .result() — the contract that lets
+    a streaming loop hide device compute under the previous frame's
+    sync (models/icp.py:match_icp_async)."""
+    from shape_based_matching_tpu.utils.dispatch import measure
+
+    templ_img = synthetic_shape_image(128, seed=6)
+    det = Detector(num_features=63)
+    det.add_template(templ_img, "s", np.full_like(templ_img, 255))
+    scenes = []
+    for seed, (angle, off) in enumerate([(2.5, (61.0, 47.0)),
+                                         (-4.0, (30.0, 90.0)),
+                                         (0.0, (80.0, 20.0))]):
+        scene0 = np.full((256, 256), 12, np.uint8)
+        scenes.append(_warp_into(scene0, templ_img, angle, 1.02, off))
+
+    def key(r):
+        return (r["match"].x, r["match"].y, r["match"].similarity,
+                r["match"].template_id, round(r["dtheta_deg"], 6),
+                round(r["dscale"], 8), round(r["tx"], 5),
+                round(r["ty"], 5), r["valid"])
+
+    want = [det.match_icp(s, 55.0, top_c=8) for s in scenes]
+    assert any(want)
+
+    # pipelined streaming loop: dispatch N+1 before pulling N
+    with measure(transfers=True) as counts:
+        handles = [det.match_icp_async(s, 55.0, top_c=8) for s in scenes]
+    assert counts.get("d2h_pulls", 0) == 0, counts
+    with measure(transfers=True) as counts:
+        got = [h.result() for h in handles]
+    assert counts.get("d2h_pulls", 0) == len(scenes), counts
+
+    for g, w in zip(got, want):
+        assert [key(r) for r in g] == [key(r) for r in w]
+    # memoized: a second .result() is free and identical
+    assert handles[0].result() is got[0]
