@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.filters import gaussian_blur7_u8, sobel3_f32
+from ..utils.dispatch import counted_jit
 
 
 class IcpResult(NamedTuple):
@@ -69,24 +70,51 @@ def edge_nearest_field(src: jnp.ndarray, weak_threshold, radius: int = 8):
     pixel's best-known seed from 8 neighbors — O(log R) static shifted
     min-selects, exact within `radius`.
 
-    Deliberately THREE compiled programs (frontend, flood, epilogue),
-    not one: XLA CPU duplicates the flood's 32 chained pad/slice/select
+    THREE compiled programs (frontend, flood, epilogue) on the CPU
+    backend: XLA CPU duplicates the flood's 32 chained pad/slice/select
     updates into every downstream consumer — one fused program (or even
     flood+epilogue, whose off/has each re-consume the seed planes) blows
     the HLO up ~40x and a 1 MP frame takes MINUTES on CPU instead of
     <1 s. jax.lax.optimization_barrier does not survive compilation to
     stop it. Measured split cost: ~2 s/MP frame total on 1 CPU
-    (frontend 1.1 s, flood 0.7 s, epilogue 0.1 s); the two extra
-    program boundaries are a few MB of HBM traffic on TPU.
+    (frontend 1.1 s, flood 0.7 s, epilogue 0.1 s).
+
+    ONE fused program elsewhere: through a high-latency transport the
+    per-frame cost of a host-facing deployment loop is dominated by
+    (program count) x (per-dispatch overhead) — utils/dispatch.py — so
+    accelerator backends run the whole field as a single jit
+    (SBM_ICP_FUSED=0/1 overrides the backend default; parity is pinned
+    by tests and the on-chip suite).
     """
+    if _use_fused_field():
+        return _edge_field_fused(src, weak_threshold, radius=radius)
     edge, normal, subpix = _edge_frontend(src, weak_threshold)
     seed_r, seed_c = _jump_flood(edge, radius=radius)
     off, has = _flood_epilogue(seed_r, seed_c, radius=radius)
     return off, normal, edge, has, subpix
 
 
-@jax.jit
-def _edge_frontend(src: jnp.ndarray, weak_threshold):
+def _use_fused_field() -> bool:
+    import os
+
+    env = os.environ.get("SBM_ICP_FUSED")
+    if env is not None:
+        return env not in ("0", "", "false")
+    return jax.default_backend() != "cpu"
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def _edge_field_fused_impl(src, weak_threshold, radius: int = 8):
+    edge, normal, subpix = _edge_frontend_impl(src, weak_threshold)
+    seed_r, seed_c = _jump_flood_impl(edge, radius)
+    off, has = _flood_epilogue_impl(seed_r, seed_c, radius)
+    return off, normal, edge, has, subpix
+
+
+_edge_field_fused = counted_jit(_edge_field_fused_impl, "icp_field_fused")
+
+
+def _edge_frontend_impl(src: jnp.ndarray, weak_threshold):
     smoothed = gaussian_blur7_u8(src)
     dx = sobel3_f32(smoothed, dx=True)
     dy = sobel3_f32(smoothed, dx=False)
@@ -131,8 +159,10 @@ def _edge_frontend(src: jnp.ndarray, weak_threshold):
     return edge, normal, subpix
 
 
-@partial(jax.jit, static_argnames=("radius",))
-def _jump_flood(edge: jnp.ndarray, radius: int = 8):
+_edge_frontend = counted_jit(jax.jit(_edge_frontend_impl), "icp_frontend")
+
+
+def _jump_flood_impl(edge: jnp.ndarray, radius: int = 8):
     """Nearest-seed field by jump flooding (see edge_nearest_field)."""
     h, w = edge.shape
     # jump flooding: seed coords propagate toward every pixel
@@ -173,8 +203,11 @@ def _jump_flood(edge: jnp.ndarray, radius: int = 8):
     return seed_r, seed_c
 
 
-@partial(jax.jit, static_argnames=("radius",))
-def _flood_epilogue(seed_r, seed_c, radius: int = 8):
+_jump_flood = counted_jit(
+    jax.jit(_jump_flood_impl, static_argnames=("radius",)), "icp_flood")
+
+
+def _flood_epilogue_impl(seed_r, seed_c, radius: int = 8):
     """Seed planes -> (offset-to-nearest [H, W, 2], within-radius mask)."""
     h, w = seed_r.shape
     big = jnp.int32(1 << 20)
@@ -188,10 +221,14 @@ def _flood_epilogue(seed_r, seed_c, radius: int = 8):
     return off, has
 
 
-@partial(jax.jit, static_argnames=("iters", "radius"))
-def icp_refine_points(off, normal, has, subpix, pts, origins, pt_valid,
-                      iters: int = 12, radius: int = 8,
-                      min_inliers: int = 8) -> IcpResult:
+_flood_epilogue = counted_jit(
+    jax.jit(_flood_epilogue_impl, static_argnames=("radius",)),
+    "icp_epilogue")
+
+
+def _icp_refine_points_impl(off, normal, has, subpix, pts, origins,
+                            pt_valid, iters: int = 12, radius: int = 8,
+                            min_inliers: int = 8) -> IcpResult:
     """Batched sim2 point-to-plane ICP.
 
     off/normal/has/subpix: the edge_nearest_field outputs.
@@ -260,8 +297,13 @@ def icp_refine_points(off, normal, has, subpix, pts, origins, pt_valid,
     return IcpResult(*outs)
 
 
-@jax.jit
-def _pack_icp_result(res: IcpResult):
+icp_refine_points = counted_jit(
+    jax.jit(_icp_refine_points_impl,
+            static_argnames=("iters", "radius", "min_inliers")),
+    "icp_refine_points")
+
+
+def _pack_icp_result_impl(res: IcpResult):
     """Stack the 7 per-match fields into ONE [7, C] f32 array so the
     host pays a single D2H transfer. jax.device_get on the NamedTuple
     pulls 7 leaves = 7 tunnel round trips — measured ~26 ms of the
@@ -270,6 +312,10 @@ def _pack_icp_result(res: IcpResult):
     return jnp.stack([res.dtheta_deg, res.dscale, res.tx, res.ty,
                       res.rmse, res.inliers.astype(jnp.float32),
                       res.valid.astype(jnp.float32)])
+
+
+_pack_icp_result = counted_jit(jax.jit(_pack_icp_result_impl),
+                               "icp_pack_result")
 
 
 def _template_icp_points(detector, class_id: str, template_id: int):
@@ -352,12 +398,10 @@ def refine_matches_icp(detector, source, matches, iters: int = 12,
     return out
 
 
-@partial(jax.jit, static_argnames=("top_c", "iters", "radius",
-                                   "min_inliers"))
-def refine_packed_candidates(off, normal, has, subpix, bank_fx, bank_fy,
-                             bank_valid, k, x, y, sc, valid,
-                             top_c: int = 32, iters: int = 12,
-                             radius: int = 8, min_inliers: int = 8):
+def _refine_packed_impl(off, normal, has, subpix, bank_fx, bank_fy,
+                        bank_valid, k, x, y, sc, valid,
+                        top_c: int = 32, iters: int = 12,
+                        radius: int = 8, min_inliers: int = 8):
     """Device-side candidate selection + sim2 ICP refine for ONE frame's
     packed match arrays (the match_batch as_matches=False layout:
     k/x/y/sc/valid each [C]).
@@ -380,11 +424,33 @@ def refine_packed_candidates(off, normal, has, subpix, bank_fx, bank_fy,
     pv = bank_valid[kk] & jnp.isfinite(top_sc)[:, None]
     ox, oy = x[idx], y[idx]
     origins = jnp.stack([ox, oy], axis=-1).astype(jnp.float32)
-    res = icp_refine_points(off, normal, has, subpix, pts, origins, pv,
-                            iters=iters, radius=radius,
-                            min_inliers=min_inliers)
+    res = _icp_refine_points_impl(off, normal, has, subpix, pts, origins,
+                                  pv, iters=iters, radius=radius,
+                                  min_inliers=min_inliers)
     res = res._replace(valid=res.valid & jnp.isfinite(top_sc))
     return res, kk, ox, oy, top_sc
+
+
+refine_packed_candidates = counted_jit(
+    jax.jit(_refine_packed_impl,
+            static_argnames=("top_c", "iters", "radius", "min_inliers")),
+    "icp_refine_packed")
+
+
+def _pack_refined_rows(res, kk, ox, oy, sc, ovf):
+    """One class's refined outputs as the 13-row packed layout (see
+    _pack_refined_classes)."""
+    return jnp.stack([
+        res.dtheta_deg, res.dscale, res.tx, res.ty, res.rmse,
+        res.inliers.astype(jnp.float32),
+        res.valid.astype(jnp.float32),
+        kk.astype(jnp.float32),
+        ox.astype(jnp.float32),
+        oy.astype(jnp.float32),
+        jnp.where(jnp.isfinite(sc), sc, jnp.float32(-1.0)),
+        jnp.isfinite(sc).astype(jnp.float32),
+        jnp.broadcast_to(ovf.astype(jnp.float32), kk.shape),
+    ])
 
 
 @jax.jit
@@ -394,20 +460,34 @@ def _pack_refined_classes(groups):
     then template id, origin x, origin y, LINE-2D score, a live flag
     (isfinite(score)), and the class overflow flag broadcast. Integer
     fields (ids <= 2^24, pixel origins) are exact in f32."""
+    return jnp.stack([_pack_refined_rows(*g) for g in groups])
+
+
+@partial(jax.jit, static_argnames=("top_c", "iters", "radius",
+                                   "min_inliers"))
+def _refine_pack_classes_impl(off, normal, has, subpix, class_inputs,
+                              top_c: int = 32, iters: int = 12,
+                              radius: int = 8, min_inliers: int = 8):
+    """Every class's candidate selection + sim2 refine + result packing
+    as ONE device program. Per-frame deployment cost through a
+    high-latency transport is (program count) x (per-dispatch overhead)
+    (utils/dispatch.py), so the one-sync path fuses the per-class
+    refine programs (1 per class) and the pack program into a single
+    jit. class_inputs: tuple per class of (bank_fx, bank_fy, bank_valid,
+    k, x, y, sc, valid, overflow) — shapes static per class set.
+    Returns the _pack_refined_classes [n_cls, 13, top_c] layout."""
     rows = []
-    for (res, kk, ox, oy, sc, ovf) in groups:
-        rows.append(jnp.stack([
-            res.dtheta_deg, res.dscale, res.tx, res.ty, res.rmse,
-            res.inliers.astype(jnp.float32),
-            res.valid.astype(jnp.float32),
-            kk.astype(jnp.float32),
-            ox.astype(jnp.float32),
-            oy.astype(jnp.float32),
-            jnp.where(jnp.isfinite(sc), sc, jnp.float32(-1.0)),
-            jnp.isfinite(sc).astype(jnp.float32),
-            jnp.broadcast_to(ovf.astype(jnp.float32), kk.shape),
-        ]))
+    for (fx, fy, bv, k, x, y, sc, valid, ovf) in class_inputs:
+        res, kk, ox, oy, top_sc = _refine_packed_impl(
+            off, normal, has, subpix, fx, fy, bv, k, x, y, sc, valid,
+            top_c=top_c, iters=iters, radius=radius,
+            min_inliers=min_inliers)
+        rows.append(_pack_refined_rows(res, kk, ox, oy, top_sc, ovf))
     return jnp.stack(rows)
+
+
+_refine_pack_classes = counted_jit(_refine_pack_classes_impl,
+                                   "icp_refine_pack_classes")
 
 
 def match_icp(detector, source, threshold: float, class_ids=None,
@@ -467,16 +547,17 @@ def _match_icp_dispatch(detector, source, threshold: float, class_ids=None,
         source, wt, radius)
 
     cids = list(packed.keys())
-    groups = []
+    class_inputs = []
     for cid in cids:
         k, x, y, sc, valid, overflow = packed[cid]
         bank0 = detector._get_banks(cid)[0]
-        res, kk, ox, oy, top_sc = refine_packed_candidates(
-            off, normal, has, subpix, bank0.fx, bank0.fy, bank0.valid,
-            k[0], x[0], y[0], sc[0], valid[0], top_c=top_c,
-            iters=iters, radius=radius)
-        groups.append((res, kk, ox, oy, top_sc, overflow[0]))
-    return source, cids, _pack_refined_classes(tuple(groups))
+        class_inputs.append((bank0.fx, bank0.fy, bank0.valid,
+                             k[0], x[0], y[0], sc[0], valid[0],
+                             overflow[0]))
+    dev = _refine_pack_classes(off, normal, has, subpix,
+                               tuple(class_inputs), top_c=top_c,
+                               iters=iters, radius=radius)
+    return source, cids, dev
 
 
 def _match_icp_collect(detector, source, cids, dev, threshold: float,

@@ -297,3 +297,48 @@ def test_match_icp_async_parity_and_sync_contract():
         assert [key(r) for r in g] == [key(r) for r in w]
     # memoized: a second .result() is free and identical
     assert handles[0].result() is got[0]
+
+def test_edge_field_fused_parity(monkeypatch):
+    """The fused one-program edge field (accelerator default,
+    SBM_ICP_FUSED=1) must be bit-identical to the three-program CPU
+    split on every output plane."""
+    from shape_based_matching_tpu.models.icp import edge_nearest_field
+
+    templ_img = synthetic_shape_image(96, seed=3)
+    scene = np.full((128, 128), 10, np.uint8)
+    scene = _warp_into(scene, templ_img, 7.0, 1.0, (12.0, 9.0))
+    src = jnp.asarray(scene)
+
+    monkeypatch.setenv("SBM_ICP_FUSED", "0")
+    split = edge_nearest_field(src, 30.0, radius=4)
+    monkeypatch.setenv("SBM_ICP_FUSED", "1")
+    fused = edge_nearest_field(src, 30.0, radius=4)
+    for name, a, b in zip(("off", "normal", "edge", "has", "subpix"),
+                          split, fused):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), name)
+
+
+def test_match_icp_program_count(monkeypatch):
+    """Per-frame program count of the one-sync deployment path: the
+    merged refine+pack program and (fused) edge field keep a warm
+    single-class match_icp at 4 executions fused / 6 split, plus the
+    one packed D2H pull. Dispatch overhead through the tunnel scales
+    with program count (ROADMAP round-4), so a regression here is a
+    deployment-latency regression even when walls look fine."""
+    from shape_based_matching_tpu.utils.dispatch import measure
+
+    templ_img = synthetic_shape_image(96, seed=5)
+    det = Detector(num_features=31)
+    det.add_template(templ_img, "s", np.full_like(templ_img, 255))
+    scene0 = np.full((160, 160), 12, np.uint8)
+    scene = _warp_into(scene0, templ_img, 3.0, 1.0, (20.0, 30.0))
+    src = jnp.asarray(scene)
+
+    for fused, want_exec in (("0", 6), ("1", 4)):
+        monkeypatch.setenv("SBM_ICP_FUSED", fused)
+        det.match_icp(src, 55.0, top_c=4)  # warm/compile
+        with measure(transfers=True) as counts:
+            got = det.match_icp(src, 55.0, top_c=4)
+        assert got
+        assert counts.get("exec_total") == want_exec, (fused, counts)
+        assert counts.get("d2h_pulls") == 1, (fused, counts)
