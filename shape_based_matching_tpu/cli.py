@@ -790,6 +790,12 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="shape_based_matching_tpu",
         description="TPU-native LINE-2D shape-based matching")
+    ap.add_argument(
+        "--trace", metavar="DIR",
+        help="wrap the command in jax.profiler.trace(DIR): writes a "
+             "TensorBoard/Perfetto device trace (the deep-dive layer "
+             "behind the Timer CSVs; reference analog is the per-stage "
+             "Timer at test_jabil.cpp:127-310)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     tr = sub.add_parser("train", help="create templates (jabil -c mode)")
@@ -897,6 +903,12 @@ def main(argv=None) -> int:
     inf.set_defaults(fn=cmd_info)
 
     args = ap.parse_args(argv)
+    if args.trace:
+        import jax
+
+        os.makedirs(args.trace, exist_ok=True)
+        with jax.profiler.trace(args.trace):
+            return args.fn(args)
     return args.fn(args)
 
 

@@ -79,6 +79,18 @@ def test_cli_info():
     assert rc == 0
 
 
+def test_cli_trace(tmp_path):
+    """--trace wraps the command in jax.profiler.trace and leaves a
+    TensorBoard plugin trace directory behind."""
+    trace_dir = str(tmp_path / "trace")
+    rc = main(["--trace", trace_dir, "info", "--size", "512x512"])
+    assert rc == 0
+    dumped = []
+    for root, _dirs, files in os.walk(trace_dir):
+        dumped += [os.path.join(root, f) for f in files]
+    assert dumped, "profiler trace produced no files"
+
+
 def test_cli_match_spatial_shards(tmp_path, capsys):
     """--spatial-shards routes frames through match_huge_frame (row
     sharding over the virtual CPU mesh) and must report the same matches
