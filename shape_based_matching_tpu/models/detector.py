@@ -584,9 +584,6 @@ class Detector:
         sources = np.asarray(sources)
         assert sources.ndim in (3, 4), "expected [B, H, W] or [B, H, W, 3]"
         B = sources.shape[0]
-
-        def meta_of(seq, b, default):
-            return float(seq[b]) if seq is not None else default
         gray = sources.ndim == 3
         has_mask = object_masks is not None
         masks = np.asarray(object_masks) if has_mask else None
@@ -630,99 +627,120 @@ class Detector:
 
         ids = [-1] * B
         pyramids = self.class_templates.setdefault(class_id, [])
+        meta = (sscales, orientations, tag_field_ids, fiducial_src)
         for b0, b1, levels_out in pending:
             # one D2H per chunk x level (device already raced ahead)
             host_levels = [(tuple(np.asarray(a) for a in outs), hw)
                            for outs, hw in levels_out]
-            # strong-candidate overflow (needs > cand_cap strong pixels
-            # per frame — pathological): full-planes program + transfer
-            # for ONLY the overflowing frames — the rest of the chunk
-            # keeps its already-pulled compacted outputs instead of
-            # re-paying the multi-MB plane pulls this path exists to
-            # avoid (~7 s per pull through the tunnel under load)
-            ovf = np.zeros(b1 - b0, bool)
-            for outs, _ in host_levels:
-                ovf |= np.asarray(outs[3]) > cand_cap  # n_strong/frame
-            planes_levels = None
-            plane_row: dict[int, int] = {}
-            if ovf.any():
-                idx = np.nonzero(ovf)[0]
-                plane_row = {int(b): i for i, b in enumerate(idx)}
-                src = jnp.asarray(sources[b0:b1][idx])
-                msk = (jnp.asarray(masks[b0:b1][idx]) if has_mask
-                       else None)
-                planes_levels = []
-                for l in range(self.pyramid_levels):
-                    if l > 0:
-                        src = jax.vmap(pyr_down_u8)(src)
-                        if has_mask:
-                            msk = jax.vmap(partial(
-                                resize_nearest,
-                                out_hw=(src.shape[1], src.shape[2])))(msk)
-                    outs = _batch_train_planes(
-                        src, msk if has_mask else zmask,
-                        jnp.float32(self.weak_threshold), gray, has_mask,
-                        self.num_orientations, self.patch_2843)
-                    planes_levels.append(
-                        (tuple(np.asarray(a) for a in outs),
-                         (src.shape[1], src.shape[2])))
-            for bi in range(b1 - b0):
-                b = b0 + bi
-                tp: TemplatePyramid = []
-                level_nfeat = nfeat
-                if ovf[bi]:
-                    pi = plane_row[bi]
-                    for l, ((elig, mag, quant, theta),
-                            (h, w)) in enumerate(planes_levels):
-                        if l > 0:
-                            level_nfeat //= 2  # line2Dup.cpp:427
-                        ys, xs = np.nonzero(elig[pi])
-                        templ = training.extract_template_host(
-                            h, w, ys, xs, mag[pi][ys, xs],
-                            quant[pi][ys, xs], theta[pi][ys, xs],
-                            level_nfeat, self.strong_threshold, l)
-                        if templ is None:
-                            tp = []
-                            break
-                        tp.append(templ)
-                else:
-                    for l, ((packed, idx, got, n_str, mag_v, quant_v,
-                             theta_v), (h, w)) in enumerate(host_levels):
-                        if l > 0:
-                            level_nfeat //= 2  # line2Dup.cpp:427
-                        elig = np.unpackbits(
-                            packed[bi], axis=-1)[:, :w].astype(bool)
-                        ys, xs = np.nonzero(elig)
-                        flags = training.greedy_accept(h, w, ys, xs)
-                        acc = np.zeros((h, w), bool)
-                        acc[ys[flags], xs[flags]] = True
-                        m = got[bi]
-                        si = idx[bi][m]
-                        sy = si // w
-                        sx = si % w
-                        keep = acc[sy, sx]
-                        templ = training.template_from_strong(
-                            sx[keep], sy[keep], mag_v[bi][m][keep],
-                            quant_v[bi][m][keep], theta_v[bi][m][keep],
-                            level_nfeat, self.strong_threshold, l)
-                        if templ is None:
-                            tp = []
-                            break
-                        tp.append(templ)
-                if not tp:
-                    continue
-                for templ in tp:
-                    templ.sscale = meta_of(sscales, b, -1.0)
-                    templ.orientation = meta_of(orientations, b, -1.0)
-                    templ.tag_field_id = (int(tag_field_ids[b])
-                                          if tag_field_ids is not None
-                                          else 0)
-                    templ.fiducial_src = fiducial_src
-                crop_templates(tp)
-                pyramids.append(tp)
-                ids[b] = len(pyramids) - 1
+            self._train_consume_chunk(
+                b0, b1, host_levels, sources, masks, has_mask, gray,
+                nfeat, cand_cap, ids, pyramids, meta)
         self._invalidate_banks(class_id)
         return ids
+
+    def _train_consume_chunk(self, b0, b1, host_levels, sources, masks,
+                             has_mask, gray, nfeat, cand_cap, ids,
+                             pyramids, meta):
+        """Host half of a training-sweep chunk: greedy acceptance +
+        scattered selection per frame from the device programs'
+        compacted products (bit-identical to sequential add_template).
+        Shared by add_templates and the mesh-sharded
+        parallel.mesh.add_templates_sharded — the device half differs
+        (local chunks vs shard_map over a mesh), the consumption must
+        not."""
+        sscales, orientations, tag_field_ids, fiducial_src = meta
+
+        def meta_of(seq, b, default):
+            return float(seq[b]) if seq is not None else default
+
+        # strong-candidate overflow (needs > cand_cap strong pixels
+        # per frame — pathological): full-planes program + transfer
+        # for ONLY the overflowing frames — the rest of the chunk
+        # keeps its already-pulled compacted outputs instead of
+        # re-paying the multi-MB plane pulls this path exists to
+        # avoid (~7 s per pull through the tunnel under load)
+        ovf = np.zeros(b1 - b0, bool)
+        for outs, _ in host_levels:
+            ovf |= np.asarray(outs[3]) > cand_cap  # n_strong/frame
+        planes_levels = None
+        plane_row: dict[int, int] = {}
+        if ovf.any():
+            zmask = jnp.zeros((1, 1, 1), jnp.uint8)
+            idx = np.nonzero(ovf)[0]
+            plane_row = {int(b): i for i, b in enumerate(idx)}
+            src = jnp.asarray(sources[b0:b1][idx])
+            msk = (jnp.asarray(masks[b0:b1][idx]) if has_mask
+                   else None)
+            planes_levels = []
+            for l in range(self.pyramid_levels):
+                if l > 0:
+                    src = jax.vmap(pyr_down_u8)(src)
+                    if has_mask:
+                        msk = jax.vmap(partial(
+                            resize_nearest,
+                            out_hw=(src.shape[1], src.shape[2])))(msk)
+                outs = _batch_train_planes(
+                    src, msk if has_mask else zmask,
+                    jnp.float32(self.weak_threshold), gray, has_mask,
+                    self.num_orientations, self.patch_2843)
+                planes_levels.append(
+                    (tuple(np.asarray(a) for a in outs),
+                     (src.shape[1], src.shape[2])))
+        for bi in range(b1 - b0):
+            b = b0 + bi
+            tp: TemplatePyramid = []
+            level_nfeat = nfeat
+            if ovf[bi]:
+                pi = plane_row[bi]
+                for l, ((elig, mag, quant, theta),
+                        (h, w)) in enumerate(planes_levels):
+                    if l > 0:
+                        level_nfeat //= 2  # line2Dup.cpp:427
+                    ys, xs = np.nonzero(elig[pi])
+                    templ = training.extract_template_host(
+                        h, w, ys, xs, mag[pi][ys, xs],
+                        quant[pi][ys, xs], theta[pi][ys, xs],
+                        level_nfeat, self.strong_threshold, l)
+                    if templ is None:
+                        tp = []
+                        break
+                    tp.append(templ)
+            else:
+                for l, ((packed, idx, got, n_str, mag_v, quant_v,
+                         theta_v), (h, w)) in enumerate(host_levels):
+                    if l > 0:
+                        level_nfeat //= 2  # line2Dup.cpp:427
+                    elig = np.unpackbits(
+                        packed[bi], axis=-1)[:, :w].astype(bool)
+                    ys, xs = np.nonzero(elig)
+                    flags = training.greedy_accept(h, w, ys, xs)
+                    acc = np.zeros((h, w), bool)
+                    acc[ys[flags], xs[flags]] = True
+                    m = got[bi]
+                    si = idx[bi][m]
+                    sy = si // w
+                    sx = si % w
+                    keep = acc[sy, sx]
+                    templ = training.template_from_strong(
+                        sx[keep], sy[keep], mag_v[bi][m][keep],
+                        quant_v[bi][m][keep], theta_v[bi][m][keep],
+                        level_nfeat, self.strong_threshold, l)
+                    if templ is None:
+                        tp = []
+                        break
+                    tp.append(templ)
+            if not tp:
+                continue
+            for templ in tp:
+                templ.sscale = meta_of(sscales, b, -1.0)
+                templ.orientation = meta_of(orientations, b, -1.0)
+                templ.tag_field_id = (int(tag_field_ids[b])
+                                      if tag_field_ids is not None
+                                      else 0)
+                templ.fiducial_src = fiducial_src
+            crop_templates(tp)
+            pyramids.append(tp)
+            ids[b] = len(pyramids) - 1
 
     def add_template_rotate(self, class_id: str, zero_id: int, theta: float,
                             center) -> int:
@@ -1064,6 +1082,23 @@ class Detector:
                                  emit=jnp.asarray(plan.emit)), desc)
             plans[key] = res
         return plans[key]
+
+    def coarse_route(self, class_id: str, size_hw) -> str:
+        """Which coarse kernel route a match at this frame size engages
+        for `class_id` — 'chain' | 'wide' | 'packed4' | 'packed2' |
+        'cells' (ops/similarity.py:coarse_route). Host-only probe; used
+        by bench.py to tag recorded numbers with the kernel that
+        produced them."""
+        from ..ops.similarity import coarse_route as _route
+
+        use_pallas = (self.use_pallas if self.use_pallas is not None
+                      else use_pallas_default())
+        banks = self._get_banks(class_id)
+        sizes = self._level_sizes(size_hw)
+        chain = (self._get_chain(banks[-1], sizes[-1])
+                 if use_pallas else None)
+        return _route(banks[-1], self.T_at_level[-1], sizes[-1],
+                      self.num_orientations, chain is not None, use_pallas)
 
     def _is_pathological(self, bank, size_wh, T) -> bool:
         """Whether any template is wider than image - 16T. Uses the

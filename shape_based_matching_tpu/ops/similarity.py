@@ -858,6 +858,41 @@ def words_extract_enabled() -> bool:
     return os.environ.get("SBM_NO_WORDS_EXTRACT", "") != "1"
 
 
+def coarse_route(bank: LevelBank, T: int, size_wh, n_ori: int = 8,
+                 chain: bool = False, use_pallas=None) -> str:
+    """Which coarse kernel route coarse_extract_dispatch will take for
+    this (bank, frame) config — 'chain' | 'wide' | 'packed4' | 'packed2'
+    | 'cells'. Pure host-side predicate mirroring the dispatch
+    conditions (kept adjacent so they can't drift: any new route must
+    appear in both). Used for bench/DETAIL route tags so a recorded ms
+    is attributable to the kernel that produced it."""
+    import os
+
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    if not (use_pallas and words_extract_enabled()):
+        return "cells"
+    if chain:
+        return "chain"
+    w_img, h_img = size_wh
+    W = w_img // T
+    M = W * (h_img // T)
+    C = n_ori * T * T
+    N_slots = int(bank.fx.shape[1])
+    M_pad = -(-(M + max(W, 1)) // 4096) * 4096
+    if 4 * (C + 1) * M_pad > 36 * 2**20:
+        return "cells"
+    n4 = N_slots * 4
+    if n4 <= 255:
+        return "packed4"
+    if n4 > 65535:
+        return "cells"
+    if (counted_extract_enabled()
+            and os.environ.get("SBM_NO_WIDE", "") != "1"):
+        return "wide"
+    return "packed2"
+
+
 def coarse_extract_dispatch(lm, lmflat, bank: LevelBank, T: int, size_wh,
                             threshold, cand_cap: int, use_pallas=None,
                             chain=None, chain_desc=None):

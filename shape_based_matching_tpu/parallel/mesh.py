@@ -406,30 +406,215 @@ def _match_images_sharded_banks(detector, images, threshold: float,
     return out
 
 
-def multichip_train_step(mesh: Mesh, size_hw: tuple):
-    """Data-parallel training-side device work: gradient pyramids +
-    quantization + local-max maps for a batch of template images, with a
-    psum'd feature-count statistic (the device half of addTemplate;
-    the greedy selection stays on host by design)."""
-    from ..models.training import local_max_map
+def multichip_train_step(mesh: Mesh, size_hw: tuple,
+                         pyramid_levels: int = 2,
+                         weak_threshold: float = 30.0,
+                         strong_lo: float | None = None,
+                         gray: bool = True, has_mask: bool = False,
+                         n_ori: int = 8, patch_2843: bool = False,
+                         cand_cap: int = 4096):
+    """The REAL device half of the training sweep over the full mesh:
+    the image batch shards across ALL devices (data x templ axes
+    flattened — training has no template axis yet), and every shard runs
+    the SAME per-frame programs add_templates dispatches locally
+    (models/detector.py:_batch_train_level, the device half of
+    addTemplate, line2Dup.cpp:452-539): gradient pyramid, quantization,
+    ties-allowed 5x5 local max, bit-packed eligible bitmaps, and
+    compacted strong-candidate values. Outputs gather over ICI into
+    full-batch arrays bit-identical to the local dispatch, so the host
+    greedy selection (Detector._train_consume_chunk) consumes them
+    unchanged — that is what makes add_templates_sharded's banks
+    bit-exact vs single-device training (asserted by
+    tests/test_sharding.py and the driver dryrun).
 
-    def per_shard(images):
-        def one(img):
-            grads = quantized_orientations_gray(img, jnp.float32(30.0))
-            lmax = local_max_map(grads.magnitude)
-            strong = grads.magnitude > jnp.float32(60.0) ** 2
-            cand = lmax & strong & (grads.angle > 0)
-            return grads.angle, jnp.sum(cand, dtype=jnp.int32)
+    Returns a jitted fn(images[, masks]) -> (per-level output tuples...,
+    psum'd eligible-count statistic). Frame count must divide by the
+    device count (callers pad)."""
+    from ..models.detector import _batch_train_level
 
-        quant, counts = jax.vmap(one)(images)
-        total = jax.lax.psum(jnp.sum(counts), ("data", "templ"))
-        return quant, counts, total
+    if strong_lo is None:
+        thr2 = np.float32(60.0 ** 2)
+        strong_lo = float(np.nextafter(np.nextafter(
+            thr2, np.float32(0)), np.float32(0)))
+
+    def per_shard(images, masks):
+        src, msk = images, masks
+        zmask = jnp.zeros((1, 1, 1), jnp.uint8)
+        outs = []
+        n_elig = jnp.int32(0)
+        for l in range(pyramid_levels):
+            if l > 0:
+                src = jax.vmap(pyr_down_u8)(src)
+                if has_mask:
+                    from ..ops.filters import resize_nearest
+
+                    msk = jax.vmap(partial(
+                        resize_nearest,
+                        out_hw=(src.shape[1], src.shape[2])))(msk)
+            lvl = _batch_train_level(
+                src, msk if has_mask else zmask,
+                jnp.float32(weak_threshold), jnp.float32(strong_lo),
+                gray, has_mask, n_ori, patch_2843, cand_cap)
+            n_elig += jnp.sum(lvl[3])
+            outs.append(lvl)
+        total = jax.lax.psum(n_elig, ("data", "templ"))
+        return tuple(outs), total
+
+    batch = P(("data", "templ"))
+    n_lvl_outs = 7  # _batch_train_level's per-level tuple arity
+    shard = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(batch, batch if has_mask else P()),
+        out_specs=(tuple((batch,) * n_lvl_outs
+                         for _ in range(pyramid_levels)), P()),
+        check_vma=False,
+    )
+    fn = jax.jit(shard)
+    if not has_mask:
+        zero = jnp.zeros((), jnp.uint8)
+        return lambda images: fn(images, zero)
+    return fn
+
+
+def add_templates_sharded(detector, sources, class_id: str,
+                          object_masks=None, mesh: Mesh | None = None,
+                          num_features: int = 0, cand_cap: int = 4096,
+                          chunk_per_dev: int = 16, sscales=None,
+                          orientations=None, tag_field_ids=None,
+                          fiducial_src: str = "none") -> list[int]:
+    """Mesh-sharded training sweep: add_templates with the device half
+    distributed over ALL mesh devices (multichip_train_step) and the
+    host-side greedy selection overlapped with in-flight device chunks.
+
+    Bit-exact vs Detector.add_templates / sequential add_template calls:
+    the per-frame device programs are identical, each frame is computed
+    by exactly one device, and the host consumes the gathered compacted
+    outputs through the SAME Detector._train_consume_chunk. Chunks of
+    chunk_per_dev * n_devices frames dispatch asynchronously ahead of
+    the host loop (dispatch is async; the host only blocks on a chunk's
+    np.asarray pull), so device batches for chunk i+1 overlap the
+    order-dependent host greedy passes for chunk i — the
+    distributed-training analog of SURVEY.md §5.
+
+    Returns one template id per frame (-1 where extraction failed)."""
+    sources = np.asarray(sources)
+    assert sources.ndim in (3, 4), "expected [B, H, W] or [B, H, W, 3]"
+    B = sources.shape[0]
+    gray = sources.ndim == 3
+    has_mask = object_masks is not None
+    masks = np.asarray(object_masks) if has_mask else None
+    nfeat = (int(num_features) if num_features > 0
+             else detector.num_features)
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    hw = (sources.shape[1], sources.shape[2])
+
+    thr2 = np.float32(float(detector.strong_threshold) ** 2)
+    strong_lo = float(np.nextafter(np.nextafter(
+        thr2, np.float32(0)), np.float32(0)))
+    step = multichip_train_step(
+        mesh, hw, pyramid_levels=detector.pyramid_levels,
+        weak_threshold=detector.weak_threshold, strong_lo=strong_lo,
+        gray=gray, has_mask=has_mask, n_ori=detector.num_orientations,
+        patch_2843=detector.patch_2843, cand_cap=cand_cap)
+
+    def pad_to(arr, n):
+        if arr.shape[0] == n:
+            return arr
+        reps = np.repeat(arr[:1], n - arr.shape[0], axis=0)
+        return np.concatenate([arr, reps], axis=0)
+
+    chunk = max(n_dev, chunk_per_dev * n_dev)
+    pending = []  # (b0, b1, device outputs) — dispatched ahead, unsynced
+    for b0 in range(0, B, chunk):
+        b1 = min(b0 + chunk, B)
+        bp = -(-(b1 - b0) // n_dev) * n_dev
+        src = jnp.asarray(pad_to(sources[b0:b1], bp))
+        if has_mask:
+            outs, _total = step(src, jnp.asarray(pad_to(masks[b0:b1], bp)))
+        else:
+            outs, _total = step(src)
+        pending.append((b0, b1, outs))
+
+    ids = [-1] * B
+    pyramids = detector.class_templates.setdefault(class_id, [])
+    meta = (sscales, orientations, tag_field_ids, fiducial_src)
+    for b0, b1, outs in pending:
+        host_levels = []
+        for l, lvl in enumerate(outs):
+            h, w = hw[0] >> l, hw[1] >> l
+            host_levels.append(
+                (tuple(np.asarray(a)[:b1 - b0] for a in lvl), (h, w)))
+        detector._train_consume_chunk(
+            b0, b1, host_levels, sources, masks, has_mask, gray, nfeat,
+            cand_cap, ids, pyramids, meta)
+    detector._invalidate_banks(class_id)
+    return ids
+
+
+def _local_refine(images, banks, T_levels, sizes, weak_threshold,
+                  threshold, cand_cap, distinct_cap, gray, n_ori,
+                  top_c, iters, radius, use_pallas=None):
+    """Full detect + ICP-refine flow for a batch of local frames (the
+    match_refine_batch production tier as ONE pure function): LINE-2D
+    match (_local_match), per-frame fused edge field, device top-k
+    candidate selection + batched sim2 point-to-plane refine
+    (models/icp.py). Returns per-frame packed refined arrays
+    (dtheta, dscale, tx, ty, rmse, inliers, valid, kk, ox, oy, top_sc),
+    each [B_loc, top_c]."""
+    from ..models.icp import _edge_field_fused_impl, _refine_packed_impl
+
+    k, x, y, sc, valid, n_above, nd = _local_match(
+        images, banks, T_levels, sizes, weak_threshold, threshold,
+        cand_cap, distinct_cap, gray, n_ori, use_pallas=use_pallas)
+    bank0 = banks[0]
+
+    def one(img, kb, xb, yb, scb, vb):
+        off, normal, _edge, has, subpix = _edge_field_fused_impl(
+            img, weak_threshold, radius)
+        res, kk, ox, oy, top_sc = _refine_packed_impl(
+            off, normal, has, subpix, bank0.fx, bank0.fy, bank0.valid,
+            kb, xb, yb, scb, vb, top_c=top_c, iters=iters, radius=radius)
+        return res + (kk, ox, oy, top_sc)
+
+    return jax.vmap(one)(images, k, x, y, sc, valid)
+
+
+def multichip_refine_step(mesh: Mesh, T_levels: tuple, size_hw: tuple,
+                          cand_cap: int = 256, distinct_cap: int = 64,
+                          top_c: int = 8, iters: int = 10,
+                          radius: int = 8, gray: bool = True,
+                          n_ori: int = 8, use_pallas: bool | None = None):
+    """The PRODUCTION deployment tier under the mesh: detect + device
+    top-k + batched sim2 ICP refine (the match_refine_batch flow,
+    reference deployment loop test_jabil.cpp:121-312 / icp2D branches)
+    data-parallel over frames across ALL mesh devices. Each frame is
+    computed end-to-end by exactly one device with the full bank
+    replicated (refinement needs only the frame's own edge field — zero
+    cross-frame communication), and the refined pose arrays gather over
+    ICI. step(images, weak_threshold, threshold, *bank_fields) ->
+    11 arrays [B, top_c] (see _local_refine)."""
+    levels = len(T_levels)
+    h, w = size_hw
+    sizes = [(w >> l, h >> l) for l in range(levels)]
+    batch = P(("data", "templ"))
+    n_fields = 7  # LevelBank arity
+
+    def per_shard(images, weak_threshold, threshold, *fields):
+        banks = [LevelBank(*fields[i * n_fields:(i + 1) * n_fields])
+                 for i in range(levels)]
+        return _local_refine(images, banks, T_levels, sizes,
+                             weak_threshold, threshold, cand_cap,
+                             distinct_cap, gray, n_ori, top_c, iters,
+                             radius, use_pallas)
 
     shard = jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(("data", "templ")),),
-        out_specs=(P(("data", "templ")), P(("data", "templ")), P()),
+        in_specs=(batch, P(), P()) + (P(),) * (levels * n_fields),
+        out_specs=(batch,) * 11,
         check_vma=False,
     )
     return jax.jit(shard)

@@ -108,15 +108,93 @@ def test_make_mesh_small_counts():
 
 
 def test_multichip_train_step(rng):
+    """The sharded training device half gathers the SAME compacted
+    per-frame products the local dispatch produces (bit-exact)."""
     _need_devices(8)
+    from shape_based_matching_tpu.models.detector import (
+        _batch_train_level)
+    from shape_based_matching_tpu.utils.synthetic import (
+        synthetic_shape_image)
+
     mesh = make_mesh(8)
     H = W = 64
     B = 16
-    images = (rng.rand(B, H, W) * 255).astype(np.uint8)
-    train = multichip_train_step(mesh, (H, W))
-    quant, counts, total = train(jnp.asarray(images))
-    assert quant.shape == (B, H, W)
-    assert int(total) == int(np.asarray(counts).sum())
+    images = np.stack([synthetic_shape_image(H, seed=100 + i)
+                       for i in range(B)])
+    train = multichip_train_step(mesh, (H, W), cand_cap=512)
+    outs, total = train(jnp.asarray(images))
+    assert len(outs) == 2  # pyramid levels
+    thr2 = np.float32(60.0 ** 2)
+    strong_lo = float(np.nextafter(np.nextafter(
+        thr2, np.float32(0)), np.float32(0)))
+    src = jnp.asarray(images)
+    zmask = jnp.zeros((1, 1, 1), jnp.uint8)
+    from shape_based_matching_tpu.ops.filters import pyr_down_u8
+    for l, lvl in enumerate(outs):
+        if l > 0:
+            src = jax.vmap(pyr_down_u8)(src)
+        ref = _batch_train_level(src, zmask, jnp.float32(30.0),
+                                 jnp.float32(strong_lo), True, False,
+                                 8, False, 512)
+        for got, want in zip(lvl, ref):
+            assert np.array_equal(np.asarray(got), np.asarray(want))
+    assert int(total) == sum(
+        int(np.asarray(lvl[3]).sum()) for lvl in outs)
+
+
+def test_add_templates_sharded_bank_parity(rng):
+    """Sharded training sweep == local add_templates == sequential
+    add_template: identical template pyramids, bit for bit."""
+    _need_devices(8)
+    from shape_based_matching_tpu.models.detector import Detector
+    from shape_based_matching_tpu.parallel.mesh import (
+        add_templates_sharded)
+    from shape_based_matching_tpu.utils.synthetic import (
+        synthetic_shape_image)
+
+    def flat(pyramids):
+        return [[(t.width, t.height, t.tl_x, t.tl_y, t.pyramid_level,
+                  t.sscale, t.orientation, t.tag_field_id, t.fiducial_src,
+                  [(f.x, f.y, f.label) for f in t.features])
+                 for t in tp] for tp in pyramids]
+
+    B = 19  # deliberately not a multiple of the device count
+    frames = np.stack([synthetic_shape_image(96, seed=500 + i)
+                       for i in range(B)])
+    det_local = Detector(num_features=63)
+    ids_local = det_local.add_templates(frames, "cls")
+    det_mesh = Detector(num_features=63)
+    ids_mesh = add_templates_sharded(det_mesh, frames, "cls",
+                                     mesh=make_mesh(8), chunk_per_dev=1)
+    assert ids_mesh == ids_local
+    assert flat(det_mesh.class_templates["cls"]) == flat(
+        det_local.class_templates["cls"])
+
+
+def test_add_templates_sharded_masked_parity(rng):
+    """Masked sharded sweep parity (the jabil flow trains with masks)."""
+    _need_devices(8)
+    from shape_based_matching_tpu.models.detector import Detector
+    from shape_based_matching_tpu.parallel.mesh import (
+        add_templates_sharded)
+    from shape_based_matching_tpu.utils.synthetic import (
+        synthetic_shape_image)
+
+    B = 9
+    frames = np.stack([synthetic_shape_image(64, seed=700 + i)
+                       for i in range(B)])
+    masks = np.full(frames.shape, 255, np.uint8)
+    masks[:, :8] = 0
+    det_local = Detector(num_features=31)
+    ids_local = det_local.add_templates(frames, "cls", object_masks=masks)
+    det_mesh = Detector(num_features=31)
+    ids_mesh = add_templates_sharded(det_mesh, frames, "cls",
+                                     object_masks=masks,
+                                     mesh=make_mesh(8), chunk_per_dev=1)
+    assert ids_mesh == ids_local
+    tl = det_local.write_class("cls")
+    tm = det_mesh.write_class("cls")
+    assert tl == tm
 
 
 def test_graft_entry_dryrun():
@@ -165,3 +243,53 @@ def test_multi_class_sharded_equals_single_device():
     for a, b in zip(sharded, single):
         assert sorted(map(key, a)) == sorted(map(key, b))
         assert {m.class_id for m in a} == {"a", "b"}
+
+
+def test_multichip_refine_step_parity(rng):
+    """Production tier under the mesh: detect + ICP refine sharded over
+    frames == the same flow single-device, pose for pose."""
+    _need_devices(8)
+    from shape_based_matching_tpu.ops.similarity import pack_level_bank
+    from shape_based_matching_tpu.parallel.mesh import (
+        _local_refine, multichip_refine_step)
+    from shape_based_matching_tpu.utils.synthetic import (
+        synthetic_scene, synthetic_shape_image)
+
+    det = Detector(num_features=31, T=(4, 8))
+    templ = synthetic_shape_image(96, seed=2)
+    assert det.add_template(templ, "cls",
+                            np.full_like(templ, 255)) == 0
+    det.add_templates_rotate("cls", 0, [30.0, 60.0, 120.0], (48, 48))
+    banks = det._get_banks("cls")
+
+    H = W = 128
+    B = 8
+    frames = np.stack([synthetic_scene(H, W, templ, n_instances=1,
+                                       seed=40 + i) for i in range(B)])
+    T_levels = det.T_at_level
+    sizes = [(W >> l, H >> l) for l in range(len(T_levels))]
+    mesh = make_mesh(8)
+    step = multichip_refine_step(mesh, T_levels, (H, W), cand_cap=64,
+                                 distinct_cap=8, top_c=4)
+    fields = [f for b in banks for f in b]
+    got = step(jnp.asarray(frames), jnp.float32(30.0), jnp.float32(80.0),
+               *fields)
+    n_valid = int(np.asarray(got[6]).sum())
+    assert n_valid > 0, "refine found nothing — test scene too hard"
+    # BIT-EXACT vs the same flow run per frame on one device: each
+    # frame's whole pipeline runs on exactly one shard, so sharding must
+    # not change a single bit of any refined pose.
+    args = (banks, T_levels, sizes, jnp.float32(30.0), jnp.float32(80.0),
+            64, 8, True, 8, 4, 10, 8)
+    per_frame = [_local_refine(jnp.asarray(frames[i:i + 1]), *args)
+                 for i in range(B)]
+    for i, g in enumerate(got):
+        w_ = np.concatenate([np.asarray(p[i]) for p in per_frame])
+        np.testing.assert_array_equal(np.asarray(g), w_)
+    # vs the B=8 batched single-device run the tolerance is float-level
+    # only: XLA compiles the vmapped sim2 solve differently per batch
+    # size (reduction order), ~1e-4 after 10 ICP iterations.
+    want = _local_refine(jnp.asarray(frames), *args)
+    for i in (0, 1, 2, 3):  # dtheta, dscale, tx, ty
+        np.testing.assert_allclose(np.asarray(got[i]),
+                                   np.asarray(want[i]), atol=2e-3)
