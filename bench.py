@@ -13,18 +13,27 @@ FIRST, as soon as the primary metric finishes, so a driver timeout
 during the detail metrics cannot zero the artifact (round 3 lost its
 perf record exactly that way: BENCH_r03.json rc 124, empty tail).
 Detail metrics then run cheapest-first under a wall-clock budget
-(env SBM_BENCH_BUDGET_S, default 480 s measured from process start);
-whatever doesn't fit is recorded in BENCH_DETAIL's "skipped" list.
-BENCH_DETAIL.json is rewritten after every metric, so even a hard kill
-mid-run leaves a valid partial file.
+(env SBM_BENCH_BUDGET_S, default 480 s measured FROM THE MOMENT THE
+PRIMARY LINE PRINTS — round 4 measured it from process start, so one
+cold/stalled primary starved all 14 detail metrics: BENCH_r04.json
+captured 2 of 15). Whatever doesn't fit is recorded in BENCH_DETAIL's
+"skipped" list. BENCH_DETAIL.json is rewritten after every metric, so
+even a hard kill mid-run leaves a valid partial file.
+
+Stall resistance: synthetic template banks load from committed
+`bench_banks/` snapshots (utils/synthetic.py) instead of retraining on
+the device in every metric subprocess — the training D2H pulls were the
+documented 146-900 s tunnel-stall exposure. The primary subprocess
+additionally gets a timeout + one retry (a stalled window often clears
+by the next session).
 """
 
 import json
 import time
 
-# Budget epoch: reset at main() so importers (tests) that call main()
-# long after import don't start with the budget already spent; for the
-# script path import->main is ~0 s so the semantics are unchanged.
+# Budget epoch: reset when the primary metric line prints (see main) so
+# the detail metrics always get the full budget; initialized here for
+# importers (tests) that drive pieces directly.
 _T0 = time.monotonic()
 
 BASELINE_1000_MS = 20.0   # reference CPU, ~1000 templates e2e
@@ -139,11 +148,11 @@ def _measure_masked(num_templates: int = 360, iters: int = 20):
 def _measure_wide(num_templates: int = 1000, num_features: int = 128,
                   iters: int = 20, dense: bool = False, size: int = 256):
     """Match-only e2e (ms/frame) for WIDE-feature banks — the fork's
-    marquee 8191-features-per-template mode and its u16 (packed2)
-    kernel route (README.md:45, u16 accumulators line2Dup.cpp:811,931).
-    Round 3 had zero perf numbers here; `dense=True` trains on block
-    noise so an 8191-cap template actually saturates its feature
-    budget. Returns (ms, true coarse-level feature count)."""
+    marquee 8191-features-per-template mode and its u16-range kernel
+    routes (README.md:45, u16 accumulators line2Dup.cpp:811,931).
+    `dense=True` trains on block noise so a wide-cap template actually
+    saturates its feature budget. Returns (ms, true coarse-level
+    feature count, engaged coarse kernel route tag)."""
     import jax
 
     from shape_based_matching_tpu.utils.synthetic import (
@@ -158,6 +167,7 @@ def _measure_wide(num_templates: int = 1000, num_features: int = 128,
     jax.block_until_ready(frames)
     out = det.match_batch(frames, 88.0, as_matches=False)  # compile
     jax.block_until_ready(out)
+    route = det.coarse_route("bench", (1024, 1024))
 
     def run(n):
         out = None
@@ -165,7 +175,36 @@ def _measure_wide(num_templates: int = 1000, num_features: int = 128,
             out = det.match_batch(frames, 88.0, as_matches=False)
         jax.block_until_ready(out)
 
-    return _min_of(run, iters), nfeat_coarse
+    return _min_of(run, iters), nfeat_coarse, route
+
+
+def _measure_e2e_16ori(num_templates: int = 360, iters: int = 20):
+    """Match e2e (ms/frame) in the 16-orientation mode — capability is
+    golden-exact vs the compiled experiment (tests/test_golden_16ori.py)
+    but had zero perf record through round 4; the experiment's entire
+    point was the speed/precision tradeoff of the wider LUT
+    (line2Dup_16bit_ori.cpp:610-700). Same config as e2e360 otherwise,
+    so the e2e360 / this ratio is the 16-ori cost."""
+    import jax
+
+    from shape_based_matching_tpu.utils.synthetic import (
+        build_rotated_detector, synthetic_scene)
+
+    det, templ_img = build_rotated_detector(num_templates=num_templates,
+                                            num_features=63, n_ori=16)
+    frame = synthetic_scene(1024, 1024, templ_img, n_instances=4, seed=3)
+    frames = jax.device_put(frame[None])
+    jax.block_until_ready(frames)
+    out = det.match_batch(frames, 85.0, as_matches=False)  # compile
+    jax.block_until_ready(out)
+
+    def run(n):
+        out = None
+        for _ in range(n):
+            out = det.match_batch(frames, 85.0, as_matches=False)
+        jax.block_until_ready(out)
+
+    return _min_of(run, iters)
 
 
 def _measure_train_sweep(n_frames: int = 128, size: int = 256):
@@ -208,8 +247,10 @@ def _measure_bank_build(num_templates: int = 10000, attempts: int = 2):
     best = float("inf")
     for _ in range(attempts):
         t0 = time.perf_counter()
+        # cache=False: this metric MEASURES the build — the committed
+        # bench_banks snapshot would reduce it to a file read.
         det, _ = build_rotated_detector(num_templates=num_templates,
-                                        num_features=63)
+                                        num_features=63, cache=False)
         det._get_banks("bench")  # pack + device put
         best = min(best, time.perf_counter() - t0)
     return best
@@ -455,7 +496,7 @@ def _measure_case1(iters: int = 20):
     with dispatch.measure(transfers=True) as counts:
         out = det.match_batch(img[None], 90.0, as_matches=False)
         jax.block_until_ready(out)
-    return ms, counts
+    return ms, counts, det.coarse_route("test", tuple(img.shape[:2]))
 
 
 # Each metric runs in its OWN subprocess: the ~0.7 ms case1 program is
@@ -463,15 +504,33 @@ def _measure_case1(iters: int = 20):
 # 7-14 ms when run after them — host-side dispatch overhead, not device
 # time), and fresh processes make the numbers order-independent. The
 # persistent compile cache keeps re-compiles cheap.
+def _measure_wide_packed2(num_templates: int = 1000,
+                          num_features: int = 256):
+    """The same dense wide-bank config as wide1000x256 but forced onto
+    the packed2 (u16 cells) kernel — SBM_NO_WIDE set before anything
+    traces. The wide1000x256 / this ratio is the wide kernel's measured
+    benefit at a K>=1000 coarse-wide scale (round-4 verdict: the only
+    wide-engaging recorded config was case1)."""
+    import os
+
+    os.environ["SBM_NO_WIDE"] = "1"
+    return _measure_wide(num_templates, num_features, dense=True,
+                         size=256)
+
+
 _METRICS = {
     "case1": lambda: _measure_case1(),
     "masked360": lambda: _measure_masked(360),
     "e2e360": lambda: _measure(360),
     "e2e1000": lambda: _measure(1000),
     "e2e10000": lambda: _measure(10000, iters=10),
+    "e2e360_16ori": lambda: _measure_e2e_16ori(360),
     "fps_b8": lambda: _measure_throughput(360, 8),
     "match1000x128": lambda: _measure_wide(1000, 128),
     "wide8191": lambda: _measure_wide(8, 8191, dense=True, size=768),
+    "wide1000x256": lambda: _measure_wide(1000, 256, dense=True,
+                                          size=256),
+    "wide1000x256_packed2": lambda: _measure_wide_packed2(1000, 256),
     "train_sweep": lambda: _measure_train_sweep(128, 256),
     "bank_build_10k": lambda: _measure_bank_build(10000),
     "icp_refine": lambda: _measure_icp(64),
@@ -492,8 +551,11 @@ _DETAIL_ORDER = [
     ("case1", 35),
     ("masked360", 45),
     ("match1000x128", 45),
+    ("wide1000x256", 45),
+    ("wide1000x256_packed2", 45),
     ("fps_b8", 45),
     ("icp_refine", 40),
+    ("e2e360_16ori", 45),
     ("wide8191", 60),
     ("e2e10000", 60),
     ("production_device", 60),
@@ -552,14 +614,36 @@ def _detail_from_vals(vals: dict, skipped: list) -> dict:
     put("match_1024x1024_360templates_b1_e2e_ms", ms_unmasked_b1, 3)
     put("match_1024x1024_10000templates_e2e_ms", vals.get("e2e10000"), 3)
     put("throughput_1024x1024_360templates_b8_fps", vals.get("fps_b8"), 1)
-    if vals.get("match1000x128") is not None:
-        ms, nf = vals["match1000x128"]
-        detail["match_1024x1024_1000t_128f_e2e_ms"] = round(ms, 3)
-        detail["match_1000t_128f_coarse_nfeat"] = int(nf)
-    if vals.get("wide8191") is not None:
-        ms, nf = vals["wide8191"]
-        detail["match_1024x1024_8t_8191f_e2e_ms"] = round(ms, 3)
-        detail["match_8t_8191f_coarse_nfeat"] = int(nf)
+    def put_wide(name, key_ms, key_nf, key_route):
+        if vals.get(name) is not None:
+            ms, nf, route = vals[name]
+            detail[key_ms] = round(ms, 3)
+            detail[key_nf] = int(nf)
+            detail[key_route] = route
+
+    put_wide("match1000x128", "match_1024x1024_1000t_128f_e2e_ms",
+             "match_1000t_128f_coarse_nfeat",
+             "match_1000t_128f_coarse_route")
+    put_wide("wide8191", "match_1024x1024_8t_8191f_e2e_ms",
+             "match_8t_8191f_coarse_nfeat",
+             "match_8t_8191f_coarse_route")
+    put_wide("wide1000x256", "match_1024x1024_1000t_256f_dense_e2e_ms",
+             "match_1000t_256f_coarse_nfeat",
+             "match_1000t_256f_coarse_route")
+    put_wide("wide1000x256_packed2",
+             "match_1024x1024_1000t_256f_dense_packed2_e2e_ms",
+             "match_1000t_256f_packed2_coarse_nfeat",
+             "match_1000t_256f_packed2_coarse_route")
+    if (vals.get("wide1000x256") is not None
+            and vals.get("wide1000x256_packed2") is not None):
+        detail["wide_vs_packed2_speedup_1000t_256f"] = round(
+            vals["wide1000x256_packed2"][0] / vals["wide1000x256"][0], 3)
+    put("match_1024x1024_360templates_16ori_e2e_ms",
+        vals.get("e2e360_16ori"), 3)
+    if (vals.get("e2e360_16ori") is not None
+            and vals.get("e2e360") is not None):
+        detail["ratio_16ori_vs_8ori_360t"] = round(
+            vals["e2e360_16ori"] / vals["e2e360"], 3)
     put("train_sweep_128x256px_templates_per_s",
         vals["train_sweep"][0] if vals.get("train_sweep") else None, 1)
     put("bank_build_10000templates_s", vals.get("bank_build_10k"), 2)
@@ -577,9 +661,10 @@ def _detail_from_vals(vals: dict, skipped: list) -> dict:
             BASELINE_360_MS / vals["e2e360"], 2)
     case1 = vals.get("case1")
     if case1 is not None:
-        ms, counts = case1
+        ms, counts, route = case1
         detail["case1_361templates_golden_e2e_ms"] = round(ms, 3)
         detail["case1_dispatch_counts"] = counts
+        detail["case1_coarse_route"] = route
     if skipped:
         detail["skipped"] = sorted(skipped)
     return detail
@@ -603,14 +688,33 @@ def main():
 
     # 1. Primary metric, then IMMEDIATELY the required single JSON line:
     #    stdout carries exactly this one line, flushed, so a timeout
-    #    anywhere later still leaves a complete driver artifact.
-    ms_1000 = run("e2e1000")
+    #    anywhere later still leaves a complete driver artifact. The
+    #    subprocess gets a timeout + one retry: the tunnel's sporadic
+    #    minutes-long stalls (CLAUDE.md) often clear by the next client
+    #    session, and one hung primary must not consume the driver's
+    #    entire outer window.
+    import os
+
+    primary_timeout = float(os.environ.get(
+        "SBM_BENCH_PRIMARY_TIMEOUT_S", "420"))
+    try:
+        ms_1000 = run("e2e1000", timeout_s=(primary_timeout if not
+                                            in_process else None))
+    except Exception as e:  # noqa: BLE001 — one retry, then give up
+        print(f"bench: primary attempt 1 failed ({str(e)[-500:]}); "
+              "retrying", file=sys.stderr)
+        time.sleep(60)  # a killed TPU client's grant takes time to free
+        ms_1000 = run("e2e1000", timeout_s=(primary_timeout if not
+                                            in_process else None))
     print(json.dumps({
         "metric": "match_1024x1024_1000templates_e2e_ms",
         "value": round(ms_1000, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_1000_MS / ms_1000, 2),
     }), flush=True)
+    # Detail budget epoch: starts HERE (not at process start) so a slow
+    # or stalled primary cannot starve the detail metrics.
+    _T0 = time.monotonic()
 
     # 2. Detail metrics, cheapest-first, inside the wall-clock budget.
     vals = {"e2e1000": ms_1000}
