@@ -730,7 +730,11 @@ def main():
                   f"{remaining:.0f}s of budget left)", file=sys.stderr)
         else:
             try:
+                t0 = time.monotonic()
                 vals[name] = run(name, timeout_s=remaining)
+                print(f"bench: {name} took "
+                      f"{time.monotonic() - t0:.1f}s (est {est_s}s)",
+                      file=sys.stderr)
             except Exception as e:  # noqa: BLE001 — detail is optional
                 skipped.append(name)
                 print(f"bench: metric {name} failed, skipping: "

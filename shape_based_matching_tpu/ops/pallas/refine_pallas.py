@@ -235,11 +235,23 @@ def map_refine_supported(size_wh, T: int, D: int,
     return 4 * (D * H + 32) * w_ext <= budget_bytes
 
 
+# SMEM is ~1 MB/core and the window kernel's per-program meta block
+# ([1, G, 2, n+1] i32) is double-buffered by Mosaic, so BOTH copies
+# must fit (960 KB budget leaves margin for scalar spill): one call
+# carries at most _WINDOW_MAX_SLOTS feature slots. Wider banks (the
+# 8191-feature mode — which tripped Mosaic's smem allocator for four
+# rounds) are feature-chunked across calls inside
+# _refine_windows_pallas, so callers never need to gate on slot count.
+_WINDOW_SMEM_BUDGET = 960 * 1024
+_WINDOW_MAX_SLOTS = _WINDOW_SMEM_BUDGET // (2 * _WINDOW_GROUP * 2 * 4) - 1
+
+
 def window_refine_supported(size_wh, T: int, n_ori: int = 8,
                             budget_bytes: int = 40 * 2**20) -> bool:
     """ext buffer must fit VMEM (with headroom for vmap double-buffering).
     Uses the kernel's ACTUAL padded footprint (32 appended rows, lanes
-    rounded up to the 128-aligned slab reach)."""
+    rounded up to the 128-aligned slab reach). Feature-slot count never
+    disqualifies: wide banks run feature-chunked (_WINDOW_MAX_SLOTS)."""
     w_img, h_img = size_wh
     W, H = w_img // T, h_img // T
     C = n_ori * T * T
@@ -313,16 +325,6 @@ def _refine_windows_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
         # bit-identical to refine_candidates, not just the valid ones
         nf = bank.nfeat[k].astype(jnp.int32)
 
-    rows = jnp.concatenate([r, nf[:, None]], axis=1)
-    cols = jnp.concatenate([c, jnp.zeros_like(nf)[:, None]], axis=1)
-    meta = jnp.stack([rows, cols], axis=1).astype(jnp.int32)  # [Cc,2,N+1]
-    # pad candidates to a _WINDOW_GROUP multiple (pad slots: nfeat 0)
-    Cc = meta.shape[0]
-    G = _WINDOW_GROUP
-    Cp = -(-Cc // G) * G
-    meta = jnp.pad(meta, ((0, Cp - Cc), (0, 0), (0, 0)))
-    meta = meta.reshape(Cp // G, G, 2, meta.shape[2])
-
     # flat-layout byte image + 16 continuation columns, padded for the
     # kernel's aligned slab loads: rows to r0_max + 24 (the 16-row flat
     # zero pad is part of this), lanes to a 128 multiple covering
@@ -331,28 +333,52 @@ def _refine_windows_pallas(lm: jnp.ndarray, bank: LevelBank, T: int,
     below = jnp.concatenate(
         [flat2d[1:], jnp.zeros((1, W), jnp.uint8)], axis=0)
     ext = jnp.concatenate([flat2d, below[:, :16]], axis=1)
-
-    N1 = meta.shape[3]
     w_pad = (((W + 14) // 128) + 2) * 128 - (W + 16)
     ext = jnp.pad(ext, ((0, 32), (0, w_pad)))
-
     R, Wext = ext.shape
-    patches = pl.pallas_call(
-        _window_kernel,
-        grid=(Cp // G,),
-        in_specs=[
-            pl.BlockSpec((1, G, 2, N1), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((R, Wext), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, G, 16, 16), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Cp // G, G, 16, 16), jnp.int32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20),
-        interpret=interpret,
-    )(meta, ext)
+
+    Cc = r.shape[0]
+    G = _WINDOW_GROUP
+    Cp = -(-Cc // G) * G
+    N = r.shape[1]
+    zero_col = jnp.zeros_like(nf)[:, None]
+
+    # The SMEM meta block [1, G, 2, n+1] is double-buffered by Mosaic,
+    # capping one call at _WINDOW_MAX_SLOTS feature slots (the bound the
+    # 8191-feature mode tripped for four rounds: "Allocation would
+    # exceed memory", space=smem). Wider banks split the FEATURE axis
+    # across calls — a chunk sees nf_c = clip(nf - s0, 0, chunk) live
+    # leading rows, and the i32 patches sum EXACTLY across chunks
+    # (per-candidate feature sums are associative), so the fast kernel
+    # carries the wide mode too instead of falling back to XLA gathers.
+    patches = None
+    for s0 in range(0, N, _WINDOW_MAX_SLOTS):
+        s1 = min(N, s0 + _WINDOW_MAX_SLOTS)
+        nf_c = jnp.clip(nf - s0, 0, s1 - s0)
+        rows = jnp.concatenate([r[:, s0:s1], nf_c[:, None]], axis=1)
+        cols = jnp.concatenate([c[:, s0:s1], zero_col], axis=1)
+        meta = jnp.stack([rows, cols], axis=1).astype(jnp.int32)
+        meta = jnp.pad(meta, ((0, Cp - Cc), (0, 0), (0, 0)))
+        meta = meta.reshape(Cp // G, G, 2, meta.shape[2])
+        N1 = meta.shape[3]
+        p = pl.pallas_call(
+            _window_kernel,
+            grid=(Cp // G,),
+            in_specs=[
+                pl.BlockSpec((1, G, 2, N1), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((R, Wext), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, G, 16, 16), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Cp // G, G, 16, 16),
+                                           jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20),
+            interpret=interpret,
+        )(meta, ext)
+        patches = p if patches is None else patches + p
 
     pf = patches.reshape(Cp, 256)[:Cc]
     best = jnp.argmax(pf, axis=1).astype(jnp.int32)  # first max (C++ >)

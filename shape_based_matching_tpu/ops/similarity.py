@@ -1142,12 +1142,31 @@ def refine_candidates(lmflat: jnp.ndarray, bank: LevelBank, T: int, size_wh,
     base = jnp.where(inb, base, L).astype(jnp.int32)  # [C, N]
 
     rr = jnp.arange(16, dtype=jnp.int32)
-    patch_off = rr[:, None] * W + rr[None, :]  # [16, 16]
-    idx = base[:, :, None, None] + patch_off[None, None]  # [C, N, 16, 16]
-    gathered = lmflat[jnp.clip(idx, 0, lmflat.shape[0] - 1)].astype(jnp.int32)
-    patch = jnp.sum(gathered, axis=1)  # [C, 16, 16]
+    # window positions kept FLAT [256] so the [.., N, 256] gather tiles
+    # cleanly (a trailing [16, 16] pads 16 -> 128 lanes: 8x the memory)
+    patch_off = (rr[:, None] * W + rr[None, :]).reshape(-1)  # [256]
+    clip_hi = lmflat.shape[0] - 1
 
-    flat = patch.reshape(patch.shape[0], 256)
+    def _patch_sum(base_c):
+        idx = base_c[:, :, None] + patch_off[None, None, :]  # [c, N, 256]
+        g = lmflat[jnp.clip(idx, 0, clip_hi)].astype(jnp.int32)
+        return jnp.sum(g, axis=1)  # [c, 256]
+
+    C_, N_ = base.shape
+    if C_ * N_ <= 1 << 18:
+        flat = _patch_sum(base)  # one shot: [C, N, 256] stays < ~256 MB
+    else:
+        # wide banks (8191-feature mode, line2Dup.cpp:811) x many
+        # candidates: the one-shot gather materializes C*N*256 i32
+        # (19 GB at 256 cand x 9126 slots) — chunk the CANDIDATE axis;
+        # per-candidate feature sums are untouched, so results stay
+        # bit-identical to the one-shot form.
+        chunk = max(1, (1 << 18) // N_)
+        Cp = -(-C_ // chunk) * chunk
+        base_p = jnp.pad(base, ((0, Cp - C_), (0, 0)))
+        flat = jax.lax.map(
+            _patch_sum, base_p.reshape(Cp // chunk, chunk, N_)
+        ).reshape(Cp, 256)[:C_]
     best = jnp.argmax(flat, axis=1).astype(jnp.int32)  # first max (C++ strict >)
     raw = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
     sim = raw.astype(jnp.float32) * 100.0 / (4.0 * nfeat_k)

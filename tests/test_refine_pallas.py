@@ -163,3 +163,30 @@ def test_window_refine_supported_gate():
     assert window_refine_supported((1024, 1024), 4)
     assert window_refine_supported((1024, 1024), 4, n_ori=16)
     assert not window_refine_supported((8192, 8192), 4)
+
+
+def test_window_refine_feature_chunked_equals_one_shot(rng, monkeypatch):
+    """Wide banks split the feature axis across kernel calls (the SMEM
+    meta block caps one call at _WINDOW_MAX_SLOTS slots — the
+    8191-feature mode). Chunked patches sum exactly, so forcing tiny
+    chunks on an ordinary bank must stay bit-identical to the XLA
+    reference path."""
+    from shape_based_matching_tpu.ops.pallas import refine_pallas
+
+    T, hw, n_ori = 4, 128, 8
+    templates = []
+    for _ in range(9):
+        n = int(rng.randint(20, 64))
+        feats = [(int(rng.randint(0, 65)), int(rng.randint(0, 65)),
+                  int(rng.randint(0, n_ori))) for _ in range(n)]
+        templates.append({"features": feats, "width": 64, "height": 64})
+    lm, lmflat, bank, k, x, y, valid = _random_case(
+        rng, n_ori, hw, hw, T, templates, n_cand=48)
+    # 3 chunks over a 64-slot bank (the jit cache keys on the implicit
+    # chunk count via the traced graph, so clear it first)
+    monkeypatch.setattr(refine_pallas, "_WINDOW_MAX_SLOTS", 24)
+    refine_pallas._refine_windows_pallas.clear_cache()
+    try:
+        _assert_equal(lm, lmflat, bank, T, (hw, hw), k, x, y, valid, 55.0)
+    finally:
+        refine_pallas._refine_windows_pallas.clear_cache()
