@@ -1,0 +1,70 @@
+"""The committed BENCH_DETAIL.json must be COMPLETE.
+
+Rounds 3-4 ended with the best numbers living in ROADMAP prose while
+the committed artifact was a mid-run snapshot with most metrics missing
+(round-4 verdict, weak #1/#2). This pins the contract: a round's
+committed detail file covers every metric bench.py knows how to
+measure, with no `skipped` remainder — the per-stage CSV record the
+reference's own driver always emits is the anchor
+(test_jabil.cpp:301-310).
+
+No TPU / no JAX: pure structure check against bench.py's metric table.
+"""
+
+import json
+import os
+
+import bench
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# metric name -> representative BENCH_DETAIL key(s) proving it ran
+_EXPECT = {
+    "e2e1000": ["match_1024x1024_1000templates_e2e_ms",
+                "vs_baseline_1000", "north_star_under_5ms"],
+    "e2e360": ["match_1024x1024_360templates_e2e_ms", "vs_baseline_360"],
+    "case1": ["case1_361templates_golden_e2e_ms", "case1_dispatch_counts",
+              "case1_coarse_route"],
+    "masked360": ["match_1024x1024_360templates_masked_e2e_ms",
+                  "match_1024x1024_360templates_b1_e2e_ms"],
+    "e2e10000": ["match_1024x1024_10000templates_e2e_ms"],
+    "e2e360_16ori": ["match_1024x1024_360templates_16ori_e2e_ms",
+                     "ratio_16ori_vs_8ori_360t"],
+    "fps_b8": ["throughput_1024x1024_360templates_b8_fps"],
+    "match1000x128": ["match_1024x1024_1000t_128f_e2e_ms",
+                      "match_1000t_128f_coarse_route"],
+    "wide8191": ["match_1024x1024_8t_8191f_e2e_ms",
+                 "match_8t_8191f_coarse_route"],
+    "wide1000x256": ["match_1024x1024_1000t_256f_dense_e2e_ms",
+                     "match_1000t_256f_coarse_route"],
+    "wide1000x256_packed2": [
+        "match_1024x1024_1000t_256f_dense_packed2_e2e_ms",
+        "wide_vs_packed2_speedup_1000t_256f"],
+    "train_sweep": ["train_sweep_128x256px_templates_per_s"],
+    "bank_build_10k": ["bank_build_10000templates_s"],
+    "icp_refine": ["icp_refine_64matches_1024x1024_e2e_ms"],
+    "production_batch": ["production_batch_1000t_128f_match_icp_ms"],
+    "production_onecall": ["production_onecall_1000t_128f_match_icp_ms"],
+    "production_stream": ["production_stream_1000t_128f_match_icp_ms"],
+    "production_device": ["production_device_1000t_128f_match_icp_ms"],
+}
+
+
+def test_expectations_cover_every_metric():
+    """_EXPECT must track bench.py's metric table — adding a metric
+    without extending the completeness contract defeats it."""
+    assert set(_EXPECT) == set(bench._METRICS), (
+        "update tests/test_bench_detail_complete.py _EXPECT")
+
+
+def test_committed_detail_has_every_metric():
+    path = os.path.join(ROOT, "BENCH_DETAIL.json")
+    assert os.path.isfile(path), "BENCH_DETAIL.json not committed"
+    with open(path) as f:
+        detail = json.load(f)
+    assert not detail.get("skipped"), (
+        f"committed BENCH_DETAIL has skipped metrics: "
+        f"{detail.get('skipped')}")
+    missing = [k for keys in _EXPECT.values() for k in keys
+               if k not in detail]
+    assert not missing, f"committed BENCH_DETAIL missing keys: {missing}"
