@@ -660,7 +660,16 @@ def match_icp_async(detector, source, threshold: float, class_ids=None,
         consume(prev.result())
 
     Results are identical to match_icp (same programs, same one-sync
-    collect — tests/test_icp.py pins parity)."""
+    collect — tests/test_icp.py pins parity).
+
+    Measured caveat (docs/SCALING.md "Per-frame host APIs"): through a
+    TUNNELED device transport the steady-state pipelined loop runs ~4x
+    SLOWER than sequential match_icp (165.7 vs 38.6 ms/frame,
+    reproduced back-to-back) — with a frame always in flight, every
+    dispatch pays contended tunnel latency. Use this API on
+    directly-attached hardware (dispatch ~free, sync ~0.1 ms) where
+    only the compute/sync overlap matters; on a tunnel prefer
+    match_icp or match_refine_batch."""
     source, cids, dev = _match_icp_dispatch(
         detector, source, threshold, class_ids, top_c=top_c,
         iters=iters, radius=radius, cand_cap=cand_cap)
