@@ -106,7 +106,7 @@ def _measure_throughput(num_templates: int = 360, batch: int = 8,
     return batch / (_min_of(run, iters) / 1e3)
 
 
-def _measure_masked(num_templates: int = 360, iters: int = 20):
+def _measure_masked(num_templates: int = 360, iters: int = 40):
     """Masked match e2e (ms/frame): the jabil-style workload — the mask
     rides the fused Pallas frontend since round 3 (one extra VMEM input),
     so this should sit within ~10% of the unmasked number instead of
@@ -146,7 +146,7 @@ def _measure_masked(num_templates: int = 360, iters: int = 20):
 
 
 def _measure_wide(num_templates: int = 1000, num_features: int = 128,
-                  iters: int = 20, dense: bool = False, size: int = 256):
+                  iters: int = 40, dense: bool = False, size: int = 256):
     """Match-only e2e (ms/frame) for WIDE-feature banks — the fork's
     marquee 8191-features-per-template mode and its u16-range kernel
     routes (README.md:45, u16 accumulators line2Dup.cpp:811,931).
@@ -178,7 +178,7 @@ def _measure_wide(num_templates: int = 1000, num_features: int = 128,
     return _min_of(run, iters), nfeat_coarse, route
 
 
-def _measure_e2e_16ori(num_templates: int = 360, iters: int = 20):
+def _measure_e2e_16ori(num_templates: int = 360, iters: int = 40):
     """Match e2e (ms/frame) in the 16-orientation mode — capability is
     golden-exact vs the compiled experiment (tests/test_golden_16ori.py)
     but had zero perf record through round 4; the experiment's entire
@@ -451,7 +451,7 @@ def _measure_production_device(num_templates: int = 1000,
     return _min_of(run, iters)
 
 
-def _measure_case1(iters: int = 20):
+def _measure_case1(iters: int = 40):
     """Real-data baseline (SURVEY.md §6): the upstream case1 angle demo —
     361 rotation templates x 128 features, trained by the compiled C++
     reference, on its test frame. Returns ms/frame or None if the
@@ -523,7 +523,7 @@ _METRICS = {
     "masked360": lambda: _measure_masked(360),
     "e2e360": lambda: _measure(360),
     "e2e1000": lambda: _measure(1000),
-    "e2e10000": lambda: _measure(10000, iters=10),
+    "e2e10000": lambda: _measure(10000, iters=30),
     "e2e360_16ori": lambda: _measure_e2e_16ori(360),
     "fps_b8": lambda: _measure_throughput(360, 8),
     "match1000x128": lambda: _measure_wide(1000, 128),
